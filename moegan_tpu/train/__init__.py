@@ -1,0 +1,4 @@
+from moegan_tpu.train.state import TrainState, create_train_state
+from moegan_tpu.train.step import make_train_step, make_eval_step
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]

@@ -1,0 +1,80 @@
+"""Training state: G/D params + optimizer states in one donate-able pytree.
+
+Replaces the reference's mutable nn.Module + torch.optim.AdamW pair
+(t2i_moe_gan.py:1091-1121) with an immutable pytree updated by a jitted
+step. Optimizer = AdamW(weight_decay=0.01, ref :1100-1102) under
+global-norm clipping (0.7 D / 0.8 G, ref :1333/:1417) and apply_if_finite
+— the functional equivalent of the reference's "NaN in loss -> skip the
+step" guard (:1315-1320, :1396-1399).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from moegan_tpu.config import TrainConfig
+from moegan_tpu.models.discriminator import AuroraDiscriminator
+from moegan_tpu.models.generator import AuroraGenerator
+from moegan_tpu.train.schedules import warmup_cosine
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+
+
+def make_optimizers(cfg: TrainConfig, steps_per_epoch: int):
+    sched = warmup_cosine(
+        cfg.lr, cfg.num_epochs, steps_per_epoch, cfg.lr_warmup_epochs, cfg.lr_min_fraction
+    )
+
+    def chain(clip):
+        tx = optax.chain(
+            optax.clip_by_global_norm(clip),
+            optax.adamw(
+                sched, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.weight_decay
+            ),
+        )
+        if cfg.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+        return optax.apply_if_finite(tx, max_consecutive_errors=100)
+
+    return chain(cfg.grad_clip_g), chain(cfg.grad_clip_d)
+
+
+def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
+    gen = AuroraGenerator(cfg.generator)
+    disc = AuroraDiscriminator(cfg.discriminator)
+
+    kg, kd, kr = jax.random.split(rng, 3)
+    z = jnp.zeros((1, cfg.generator.latent_dim), jnp.float32)
+    txt = jnp.zeros((1, cfg.generator.text_embedding_dim), jnp.float32)
+    g_vars = gen.init({"params": kg, "router": kr}, z, txt)
+    g_params = g_vars["params"]
+
+    r = cfg.discriminator.max_resolution
+    img = jnp.zeros((1, r, r, 3), jnp.float32)
+    d_params = disc.init(kd, img, txt)["params"]
+
+    steps = cfg.steps_per_epoch or 1000
+    g_tx, d_tx = make_optimizers(cfg, steps)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+    )
+
+
+def count_params(tree) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(tree))
