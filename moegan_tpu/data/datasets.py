@@ -1,0 +1,110 @@
+"""Dataset containers honoring the reference's npy artifact contract.
+
+The reference pipeline (data_processing/data_processing_pipeline.py)
+produces `mscoco_{split}_images.npy` ([-1,1] float32 CHW images),
+`mscoco_{split}_text_embeddings.npy` (CLIP ViT-B/32, float32 [N,512]) and
+`mscoco_{split}_captions.npy`; `ProcessedMSCOCODataset` (:425-471) serves
+(image, embedding[, caption]) tuples. This module keeps that on-disk
+contract byte-compatible (existing processed data drops in) while storing
+images NHWC in host RAM for TPU-friendly feeding.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class ProcessedMSCOCODataset:
+    """npy-backed dataset; mirrors reference :425-471 incl. file naming."""
+
+    images: np.ndarray  # [N, H, W, 3] float32 in [-1, 1] (NHWC)
+    text_embeddings: np.ndarray  # [N, 512] float32
+    captions: Optional[np.ndarray] = None
+
+    @classmethod
+    def load(
+        cls,
+        data_dir: str,
+        split: str = "train",
+        *,
+        augmented: bool = False,
+        use_percentage: float = 1.0,
+        return_captions: bool = False,
+    ) -> "ProcessedMSCOCODataset":
+        """Load `mscoco_{split}_*.npy` (or `_augmented_` variants).
+
+        use_percentage mirrors sagemaker_train.py:24-68's SimpleDataset
+        subsetting (the cloud run trains on 33% of the data, :202).
+        """
+        prefix = f"mscoco_{split}_augmented" if augmented else f"mscoco_{split}"
+        images = np.load(os.path.join(data_dir, f"{prefix}_images.npy"), mmap_mode="r")
+        embeds = np.load(os.path.join(data_dir, f"{prefix}_text_embeddings.npy"))
+        captions = None
+        cap_path = os.path.join(data_dir, f"{prefix}_captions.npy")
+        if return_captions and os.path.exists(cap_path):
+            captions = np.load(cap_path, allow_pickle=True)
+
+        n = len(images)
+        if use_percentage < 1.0:
+            n = max(1, int(n * use_percentage))
+        images = np.asarray(images[:n], np.float32)
+        embeds = np.asarray(embeds[:n], np.float32)
+        if captions is not None:
+            captions = captions[:n]
+
+        # Reference stores CHW; convert once to NHWC for the TPU.
+        if images.ndim == 4 and images.shape[1] == 3 and images.shape[-1] != 3:
+            images = np.transpose(images, (0, 2, 3, 1))
+        return cls(np.ascontiguousarray(images), embeds, captions)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        if self.captions is not None:
+            return self.images[idx], self.text_embeddings[idx], self.captions[idx]
+        return self.images[idx], self.text_embeddings[idx]
+
+    def save(self, data_dir: str, split: str = "train", *, augmented: bool = False):
+        os.makedirs(data_dir, exist_ok=True)
+        prefix = f"mscoco_{split}_augmented" if augmented else f"mscoco_{split}"
+        # Persist CHW to stay byte-compatible with the reference artifacts.
+        chw = np.transpose(self.images, (0, 3, 1, 2)).astype(np.float32)
+        np.save(os.path.join(data_dir, f"{prefix}_images.npy"), chw)
+        np.save(
+            os.path.join(data_dir, f"{prefix}_text_embeddings.npy"),
+            self.text_embeddings.astype(np.float32),
+        )
+        if self.captions is not None:
+            np.save(
+                os.path.join(data_dir, f"{prefix}_captions.npy"),
+                np.asarray(self.captions, object),
+            )
+
+
+def synthetic_dataset(
+    n: int = 64, resolution: int = 16, seed: int = 0, text_dim: int = 512
+) -> ProcessedMSCOCODataset:
+    """Tiny synthetic fixture (the rebuild's analog of the reference's
+    100-sample toy validation run, SURVEY.md §4). Images are smooth
+    color fields weakly correlated with their text embeddings so a few
+    train steps have signal."""
+    rng = np.random.default_rng(seed)
+    embeds = rng.normal(size=(n, text_dim)).astype(np.float32)
+    ys, xs = np.mgrid[0:resolution, 0:resolution] / resolution
+    images = np.zeros((n, resolution, resolution, 3), np.float32)
+    for i in range(n):
+        phase = embeds[i, :3]
+        images[i, ..., 0] = np.sin(2 * np.pi * (xs + phase[0]))
+        images[i, ..., 1] = np.sin(2 * np.pi * (ys + phase[1]))
+        images[i, ..., 2] = np.sin(2 * np.pi * (xs * ys + phase[2]))
+    images += 0.05 * rng.normal(size=images.shape).astype(np.float32)
+    captions = np.asarray([f"synthetic sample {i}" for i in range(n)], object)
+    return ProcessedMSCOCODataset(
+        np.clip(images, -1, 1).astype(np.float32), embeds, captions
+    )

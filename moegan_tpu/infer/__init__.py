@@ -1,0 +1,10 @@
+from moegan_tpu.infer.sample import sample_aurora_gan, Sampler
+from moegan_tpu.infer.fid import frechet_distance, gaussian_stats, FIDEvaluator
+
+__all__ = [
+    "sample_aurora_gan",
+    "Sampler",
+    "frechet_distance",
+    "gaussian_stats",
+    "FIDEvaluator",
+]

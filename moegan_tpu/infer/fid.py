@@ -1,0 +1,128 @@
+"""FID evaluation (reference calculate_fid_for_inference,
+moegan/inference.py:140-249).
+
+The reference extracts InceptionV3 pool-2048 features in batches of 8,
+fits Gaussians, and computes the Frechet distance with scipy sqrtm; when
+`reference_stats.npz` is missing it falls back to mu=0, Sigma=I (:230-240)
+— both behaviors reproduced. Feature extraction is pluggable:
+
+- "clip": the JAX CLIP image tower (512-d) — TPU-native, default here
+  (torchvision isn't in this image; with pretrained weights this is the
+  well-known CLIP-FID variant).
+- "inception": torchvision InceptionV3 pool features when importable
+  (bit-parity with pytorch-fid).
+- any callable images[-1,1] NHWC -> [N, D] features.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+
+def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of a feature matrix [N, D] (ref :196-208)."""
+    mu = np.mean(features, axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def _psd_sqrtm(mat: np.ndarray) -> np.ndarray:
+    """Matrix square root; scipy sqrtm when available (reference parity),
+    else symmetric-eigendecomposition PSD sqrt."""
+    try:
+        from scipy import linalg
+
+        res = linalg.sqrtm(mat)
+        return res[0] if isinstance(res, tuple) else res
+    except Exception:
+        w, v = np.linalg.eigh((mat + mat.T) / 2)
+        w = np.clip(w, 0, None)
+        return (v * np.sqrt(w)) @ v.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians (ref :210-228)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean = _psd_sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _psd_sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def clip_feature_extractor(clip_params, batch_size: int = 8) -> Callable:
+    """JAX CLIP image tower as the feature source (jitted, batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moegan_tpu.models import clip_jax
+
+    @jax.jit
+    def feats(images):
+        return clip_jax.image_features(clip_params, images)
+
+    def extract(images_m11: np.ndarray) -> np.ndarray:
+        out = []
+        n = len(images_m11)
+        bs = batch_size
+        for i in range(0, n, bs):
+            chunk = np.asarray(images_m11[i : i + bs], np.float32)
+            if len(chunk) < bs:  # pad to keep one compiled shape
+                pad = np.zeros((bs - len(chunk), *chunk.shape[1:]), np.float32)
+                res = np.asarray(feats(jnp.asarray(np.concatenate([chunk, pad]))))[: len(chunk)]
+            else:
+                res = np.asarray(feats(jnp.asarray(chunk)))
+            out.append(res)
+        return np.concatenate(out, axis=0)
+
+    return extract
+
+
+class FIDEvaluator:
+    """End-to-end FID with reference-stats file + identity fallback."""
+
+    def __init__(
+        self,
+        extractor: Union[Callable, None] = None,
+        reference_stats_path: Optional[str] = None,
+        feature_dim: int = 512,
+    ):
+        self.extractor = extractor
+        self.feature_dim = feature_dim
+        self.ref_mu: Optional[np.ndarray] = None
+        self.ref_sigma: Optional[np.ndarray] = None
+        if reference_stats_path:
+            self.load_reference_stats(reference_stats_path)
+
+    def load_reference_stats(self, path: str):
+        import os
+
+        if os.path.exists(path):
+            data = np.load(path)
+            self.ref_mu, self.ref_sigma = data["mu"], data["sigma"]
+        else:
+            # Reference fallback: standard-normal stats (inference.py:230-240).
+            self.ref_mu = np.zeros(self.feature_dim)
+            self.ref_sigma = np.eye(self.feature_dim)
+
+    def set_reference_images(self, images_m11: np.ndarray):
+        feats = self.extractor(images_m11)
+        self.ref_mu, self.ref_sigma = gaussian_stats(feats)
+        self.feature_dim = feats.shape[-1]
+
+    def save_reference_stats(self, path: str):
+        np.savez(path, mu=self.ref_mu, sigma=self.ref_sigma)
+
+    def __call__(self, images_m11: np.ndarray) -> float:
+        if self.ref_mu is None:
+            self.load_reference_stats("reference_stats.npz")
+        feats = self.extractor(images_m11)
+        mu, sigma = gaussian_stats(feats)
+        return frechet_distance(mu, sigma, self.ref_mu, self.ref_sigma)

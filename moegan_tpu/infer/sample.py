@@ -1,0 +1,106 @@
+"""Prompt-to-image sampling (reference sample_aurora_gan, t2i_moe_gan.py
+:1672-1709): z ~ N(0,1) fp32, CLIP-encode string prompts, repeat a single
+embedding across samples, eval-mode forward (mean router weights, hard
+top-1 routing), truncation trick, clamp to [-1,1]. Adds the expert-
+utilization stats the north star asks for (per-block top-1 histogram)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moegan_tpu.config import GeneratorConfig
+from moegan_tpu.models.generator import AuroraGenerator
+
+
+class Sampler:
+    """Jitted, reusable sampling wrapper around a trained generator."""
+
+    def __init__(self, cfg: GeneratorConfig, g_params, clip_params=None):
+        self.cfg = cfg
+        self.gen = AuroraGenerator(cfg)
+        self.g_params = g_params
+        self.clip_params = clip_params
+
+        @partial(jax.jit, static_argnames=("truncation_psi",))
+        def _sample(params, z, text_emb, truncation_psi):
+            out = self.gen.apply(
+                {"params": params}, z, text_emb,
+                truncation_psi=truncation_psi, training=False,
+            )
+            return jnp.clip(out.image, -1.0, 1.0), out.routing
+
+        self._sample = _sample
+
+    def encode_text(self, prompt) -> jax.Array:
+        if self.clip_params is None:
+            from moegan_tpu.models.clip_jax import load_clip_params
+
+            self.clip_params = load_clip_params()
+        from moegan_tpu.models.clip_jax import encode_text
+
+        return encode_text(self.clip_params, prompt)
+
+    def __call__(
+        self,
+        prompt: Union[str, list, jax.Array, np.ndarray],
+        num_samples: int = 1,
+        truncation_psi: float = 0.7,
+        seed: int = 0,
+        return_stats: bool = False,
+    ):
+        if isinstance(prompt, str) or (
+            isinstance(prompt, list) and prompt and isinstance(prompt[0], str)
+        ):
+            text_emb = self.encode_text(prompt).astype(jnp.float32)
+        else:
+            text_emb = jnp.asarray(prompt, jnp.float32)
+            if text_emb.ndim == 1:
+                text_emb = text_emb[None]
+        if text_emb.shape[0] == 1 and num_samples > 1:
+            text_emb = jnp.broadcast_to(text_emb, (num_samples, text_emb.shape[-1]))
+
+        z = jax.random.normal(
+            jax.random.PRNGKey(seed), (num_samples, self.cfg.latent_dim), jnp.float32
+        )
+        images, routing = self._sample(self.g_params, z, text_emb, truncation_psi)
+        if not return_stats:
+            return images
+        stats = expert_utilization_stats(routing)
+        return images, stats
+
+
+def expert_utilization_stats(routing) -> dict:
+    """Per-block expert histograms from (hard) routing probs — the
+    observability signal the reference prototype plots
+    (moe/moe_testing.py:127-177)."""
+    out = {}
+    for i, probs in enumerate(routing):
+        p = np.asarray(probs, np.float32).reshape(-1, probs.shape[-1])
+        out[f"block_{i}"] = {
+            "mean_prob": p.mean(0).tolist(),
+            "top1_fraction": np.bincount(
+                p.argmax(-1), minlength=p.shape[-1]
+            ).astype(np.float64).__truediv__(len(p)).tolist(),
+        }
+    return out
+
+
+def sample_aurora_gan(
+    generator_params,
+    text_prompt,
+    num_samples: int = 1,
+    truncation_psi: float = 0.7,
+    *,
+    cfg: Optional[GeneratorConfig] = None,
+    clip_params=None,
+    seed: int = 0,
+):
+    """Functional mirror of the reference API (:1672). Returns [N,R,R,3]
+    images in [-1, 1] (NHWC, float32)."""
+    sampler = Sampler(cfg or GeneratorConfig(), generator_params, clip_params)
+    return sampler(text_prompt, num_samples, truncation_psi, seed)

@@ -1,0 +1,272 @@
+"""Serving: model-container handler + async HTTP control plane.
+
+Two layers, mirroring the reference's serving stack (SURVEY.md §3.4):
+
+1. `InferenceHandler` — the model-container contract of
+   moegan/inference.py: model_fn/transform_fn/handle(data, context) with
+   the request schema {text, num_samples<=4, truncation_psi,
+   calculate_fid} and response {images: [b64 png], prompt, fid_score?}
+   (:252-357). Checkpoint discovery searches the model dir for a saved
+   model with wrapped/bare tolerance (:24-118).
+
+2. `serve()` — a local HTTP control plane replacing API Gateway + the 5
+   Lambdas + DynamoDB (cloudformation.yaml:123-1517): POST /generate ->
+   {request_id}, GET /poll?request_id -> {status, data}, POST
+   /image-metrics (FID path), GET /metrics -> model_metrics.json. Jobs run
+   on a worker thread with an in-memory TTL store — the same asynchronous
+   poll-loop shape the frontend expects (frontend/index.html:281-429).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from moegan_tpu.config import GeneratorConfig
+from moegan_tpu.infer.fid import FIDEvaluator, clip_feature_extractor
+from moegan_tpu.infer.sample import Sampler
+
+MAX_NUM_SAMPLES = 4  # ref inference.py:283 caps at 4
+
+
+def images_to_b64_pngs(images_m11: np.ndarray) -> list[str]:
+    """[-1,1] NHWC float -> list of base64 PNG strings (ref :323-340)."""
+    from PIL import Image
+
+    out = []
+    arr = np.clip((np.asarray(images_m11) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for img in arr:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        out.append(base64.b64encode(buf.getvalue()).decode("utf-8"))
+    return out
+
+
+def find_model_file(model_dir: str) -> Optional[str]:
+    """Search for a saved model like reference load_model (:34-105):
+    canonical name first, then any matching file incl. subdirs."""
+    canonical = os.path.join(model_dir, "aurora_model_final.msgpack")
+    if os.path.exists(canonical):
+        return canonical
+    for root, _, files in os.walk(model_dir):
+        for f in sorted(files):
+            if f.endswith((".msgpack", ".npz")):
+                return os.path.join(root, f)
+    for root, dirs, _ in os.walk(model_dir):
+        for d in sorted(dirs):
+            if d == "default" or d.isdigit():
+                return os.path.join(root, d)
+    return None
+
+
+class InferenceHandler:
+    """MMS-style handler (ref CustomInferenceHandler + handle, :362-421)."""
+
+    def __init__(self, sampler: Sampler, fid: Optional[FIDEvaluator] = None):
+        self.sampler = sampler
+        self.fid = fid
+
+    @classmethod
+    def from_model_dir(
+        cls, model_dir: str, cfg: Optional[GeneratorConfig] = None, clip_params=None
+    ) -> "InferenceHandler":
+        from moegan_tpu.utils.checkpoint import load_generator_params
+
+        path = find_model_file(model_dir)
+        if path is None:
+            raise FileNotFoundError(f"no model artifact under {model_dir}")
+        g_params = load_generator_params(path)
+        cfg = cfg or GeneratorConfig()
+        if clip_params is None:
+            from moegan_tpu.models.clip_jax import load_clip_params
+
+            clip_params = load_clip_params()
+        sampler = Sampler(cfg, g_params, clip_params)
+        fid = FIDEvaluator(
+            clip_feature_extractor(clip_params),
+            reference_stats_path="reference_stats.npz",
+        )
+        return cls(sampler, fid)
+
+    def transform_fn(self, request: dict) -> dict:
+        """{text, num_samples, truncation_psi, calculate_fid} ->
+        {images, prompt, fid_score?} (ref :252-357)."""
+        text = request.get("text", "")
+        if not text:
+            raise ValueError("request must include 'text'")
+        num_samples = min(int(request.get("num_samples", 1)), MAX_NUM_SAMPLES)
+        psi = float(request.get("truncation_psi", 0.7))
+        seed = int(request.get("seed", int(time.time()) % (2**31)))
+
+        images, stats = self.sampler(
+            text, num_samples, psi, seed=seed, return_stats=True
+        )
+        images = np.asarray(images)
+        resp = {
+            "images": images_to_b64_pngs(images),
+            "prompt": text,
+            "expert_utilization": stats,
+        }
+        if request.get("calculate_fid") and self.fid is not None:
+            resp["fid_score"] = self.fid(images)
+        return resp
+
+    def handle(self, data, context=None):
+        """MMS entry: list of {'body': bytes} -> list of JSON strings."""
+        if data is None:
+            return None
+        out = []
+        for item in data:
+            body = item.get("body") if isinstance(item, dict) else item
+            if isinstance(body, (bytes, bytearray)):
+                body = body.decode("utf-8")
+            req = json.loads(body) if isinstance(body, str) else body
+            try:
+                out.append(json.dumps(self.transform_fn(req)))
+            except Exception as e:  # ref returns error JSON, not a crash
+                out.append(json.dumps({"error": str(e)}))
+        return out
+
+
+class JobStore:
+    """In-memory DynamoDB analog: request_id -> {status, data, expiry}."""
+
+    def __init__(self, ttl_seconds: float = 24 * 3600):
+        self.ttl = ttl_seconds
+        self._jobs: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def put(self, request_id: str, status: str, data=None):
+        with self._lock:
+            self._jobs[request_id] = {
+                "request_id": request_id,
+                "status": status,
+                "data": data,
+                "expiration_time": time.time() + self.ttl,
+            }
+
+    def get(self, request_id: str) -> Optional[dict]:
+        with self._lock:
+            job = self._jobs.get(request_id)
+            if job and job["expiration_time"] < time.time():
+                del self._jobs[request_id]
+                return None
+            return job
+
+    def sweep(self):
+        now = time.time()
+        with self._lock:
+            for k in [k for k, v in self._jobs.items() if v["expiration_time"] < now]:
+                del self._jobs[k]
+
+
+def make_server(
+    handler: InferenceHandler,
+    *,
+    metrics: Optional[dict] = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+) -> ThreadingHTTPServer:
+    """HTTP server with the reference's public API shape."""
+    store = JobStore()
+    model_metrics = metrics or {}
+
+    def run_job(request_id: str, payload: dict):
+        try:
+            store.put(request_id, "PROCESSING")
+            data = handler.transform_fn(payload)
+            store.put(request_id, "COMPLETED", data)
+        except Exception as e:
+            store.put(request_id, "FAILED", {"error": str(e)})
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_OPTIONS(self):  # CORS preflight (ref :1279-1494)
+            self.send_response(200)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET,POST,OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type")
+            self.end_headers()
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return self._send(400, {"error": "invalid JSON body"})
+            if self.path == "/generate":
+                if not payload.get("text"):
+                    return self._send(400, {"error": "missing 'text'"})
+                rid = str(uuid.uuid4())
+                store.put(rid, "INITIALIZING")
+                threading.Thread(target=run_job, args=(rid, payload), daemon=True).start()
+                return self._send(202, {"request_id": rid})
+            if self.path == "/image-metrics":
+                if not payload.get("text"):
+                    return self._send(400, {"error": "missing 'text'"})
+                payload = {**payload, "calculate_fid": True,
+                           "num_samples": min(int(payload.get("num_samples", 4)), MAX_NUM_SAMPLES)}
+                rid = str(uuid.uuid4())
+                store.put(rid, "INITIALIZING")
+                threading.Thread(target=run_job, args=(rid, payload), daemon=True).start()
+                return self._send(202, {"request_id": rid})
+            return self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/poll":
+                rid = parse_qs(url.query).get("request_id", [None])[0]
+                if not rid:
+                    return self._send(400, {"error": "missing request_id"})
+                job = store.get(rid)
+                if job is None:
+                    return self._send(404, {"status": "NOT_FOUND"})
+                return self._send(200, {"status": job["status"], "data": job["data"]})
+            if url.path == "/metrics":
+                return self._send(200, model_metrics)
+            if url.path == "/healthz":
+                return self._send(200, {"status": "ok"})
+            return self._send(404, {"error": f"unknown path {url.path}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8080, metrics=None):
+    handler = InferenceHandler.from_model_dir(model_dir)
+    server = make_server(handler, metrics=metrics, host=host, port=port)
+    print(f"serving on http://{host}:{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default=os.environ.get("SM_MODEL_DIR", "./model"))
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    serve(args.model_dir, args.host, args.port)

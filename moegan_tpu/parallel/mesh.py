@@ -46,9 +46,9 @@ def auto_expert_parallelism(n_devices: int, num_experts: int) -> int:
 
 @contextlib.contextmanager
 def maybe_mesh_context(mesh: Mesh | None):
-    """`jax.sharding.use_mesh` when a mesh is given; no-op otherwise."""
+    """`jax.sharding.set_mesh` when a mesh is given; no-op otherwise."""
     if mesh is None:
         yield
     else:
-        with jax.sharding.use_mesh(mesh):
+        with jax.sharding.set_mesh(mesh):
             yield

@@ -51,7 +51,14 @@ def make_optimizers(cfg: TrainConfig, steps_per_epoch: int):
     return chain(cfg.grad_clip_g), chain(cfg.grad_clip_d)
 
 
-def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
+def create_train_state(cfg: TrainConfig, rng: jax.Array, mesh=None) -> TrainState:
+    """Initialize G/D params + optimizer states.
+
+    With ``mesh``, parameters are placed according to the partition rules
+    (expert-stacked MoE weights over the 'expert' axis, everything else
+    replicated) and the optimizer states inherit those shardings by
+    jitting the optimizer init with sharded inputs (GSPMD propagation).
+    """
     gen = AuroraGenerator(cfg.generator)
     disc = AuroraDiscriminator(cfg.discriminator)
 
@@ -67,12 +74,31 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array) -> TrainState:
 
     steps = cfg.steps_per_epoch or 1000
     g_tx, d_tx = make_optimizers(cfg, steps)
+
+    if mesh is not None:
+        from moegan_tpu.parallel.sharding import make_param_shardings
+
+        g_shardings = make_param_shardings(
+            g_params, mesh, expert_axis=cfg.mesh.expert_axis
+        )
+        d_shardings = make_param_shardings(
+            d_params, mesh, expert_axis=cfg.mesh.expert_axis
+        )
+        g_params = jax.device_put(g_params, g_shardings)
+        d_params = jax.device_put(d_params, d_shardings)
+        # Optimizer states inherit the param shardings via propagation.
+        g_opt_state = jax.jit(g_tx.init)(g_params)
+        d_opt_state = jax.jit(d_tx.init)(d_params)
+    else:
+        g_opt_state = g_tx.init(g_params)
+        d_opt_state = d_tx.init(d_params)
+
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
         d_params=d_params,
-        g_opt_state=g_tx.init(g_params),
-        d_opt_state=d_tx.init(d_params),
+        g_opt_state=g_opt_state,
+        d_opt_state=d_opt_state,
     )
 
 

@@ -1,0 +1,163 @@
+"""Inference layer: sampling API, FID math, serving handler + HTTP API."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.helpers import TINY_GEN, tiny_generator_params
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    from moegan_tpu.infer.sample import Sampler
+
+    return Sampler(TINY_GEN, tiny_generator_params())
+
+
+def test_sample_from_embedding(sampler):
+    emb = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
+    imgs = sampler(emb, num_samples=3, truncation_psi=0.7, seed=1)
+    assert imgs.shape == (3, 16, 16, 3)
+    a = np.asarray(imgs)
+    assert a.min() >= -1.0 and a.max() <= 1.0
+
+
+def test_sample_expert_stats(sampler):
+    emb = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
+    imgs, stats = sampler(emb, num_samples=2, return_stats=True)
+    assert set(stats) == {"block_0", "block_1", "block_2"}
+    frac = stats["block_2"]["top1_fraction"]
+    assert len(frac) == 4 and abs(sum(frac) - 1.0) < 1e-6
+
+
+def test_fid_math():
+    from moegan_tpu.infer.fid import frechet_distance, gaussian_stats
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8))
+    mu, sig = gaussian_stats(a)
+    # identical distributions -> ~0
+    assert frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+    # known shift: FID(N(0,I), N(m,I)) = ||m||^2
+    d = frechet_distance(np.zeros(8), np.eye(8), np.ones(8) * 2.0, np.eye(8))
+    assert d == pytest.approx(8 * 4.0, rel=1e-6)
+
+
+def test_fid_reference_fallback(tmp_path):
+    from moegan_tpu.infer.fid import FIDEvaluator
+
+    ev = FIDEvaluator(extractor=lambda imgs: imgs.reshape(len(imgs), -1)[:, :8], feature_dim=8)
+    ev.load_reference_stats(str(tmp_path / "missing.npz"))  # -> mu=0, sigma=I
+    np.testing.assert_array_equal(ev.ref_mu, np.zeros(8))
+    np.testing.assert_array_equal(ev.ref_sigma, np.eye(8))
+    imgs = np.random.default_rng(0).normal(size=(32, 4, 4, 3)).astype(np.float32)
+    assert np.isfinite(ev(imgs))
+
+
+def test_inference_handler_schema(sampler):
+    from moegan_tpu.infer.serving import InferenceHandler
+
+    h = InferenceHandler(sampler)
+    # string body through the MMS-style handle()
+    body = json.dumps({"text": "a red bird", "num_samples": 2, "seed": 0})
+    out = h.handle([{"body": body.encode()}])
+    resp = json.loads(out[0])
+    assert resp["prompt"] == "a red bird"
+    assert len(resp["images"]) == 2
+    assert "expert_utilization" in resp
+    # base64 PNG magic
+    import base64
+
+    png = base64.b64decode(resp["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # num_samples capped at 4 (ref :283)
+    resp = json.loads(h.handle([{"body": json.dumps({"text": "x", "num_samples": 9})}])[0])
+    assert len(resp["images"]) == 4
+    # error path returns JSON, not a crash
+    resp = json.loads(h.handle([{"body": json.dumps({"num_samples": 1})}])[0])
+    assert "error" in resp
+
+
+@pytest.fixture(scope="module")
+def server(sampler):
+    from moegan_tpu.infer.serving import InferenceHandler, make_server
+
+    srv = make_server(InferenceHandler(sampler), metrics={"val_clip_loss": 0.81}, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_generate_poll_flow(server):
+    import time
+
+    status, resp = _post(server + "/generate", {"text": "a dog", "seed": 1})
+    assert status == 202 and "request_id" in resp
+    rid = resp["request_id"]
+    for _ in range(120):
+        status, poll = _get(server + f"/poll?request_id={rid}")
+        if poll["status"] in ("COMPLETED", "FAILED"):
+            break
+        time.sleep(0.25)
+    assert poll["status"] == "COMPLETED"
+    assert poll["data"]["prompt"] == "a dog"
+    assert len(poll["data"]["images"]) >= 1
+
+
+def test_http_metrics_and_errors(server):
+    status, m = _get(server + "/metrics")
+    assert status == 200 and m["val_clip_loss"] == 0.81
+    status, h = _get(server + "/healthz")
+    assert h["status"] == "ok"
+    # missing text -> 400
+    try:
+        _post(server + "/generate", {})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown request id -> 404
+    try:
+        _get(server + "/poll?request_id=nope")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_checkpoint_roundtrip_msgpack(tmp_path, sampler):
+    from moegan_tpu.utils.checkpoint import load_generator_params, save_generator_params
+
+    p = str(tmp_path / "aurora_model_final.msgpack")
+    save_generator_params(p, sampler.g_params)
+    loaded = load_generator_params(p)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sampler.g_params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_bare_params_tolerated(tmp_path, sampler):
+    from moegan_tpu.utils.checkpoint import load_generator_params, save_generator_params
+
+    p = str(tmp_path / "bare.npz")
+    save_generator_params(p, sampler.g_params, wrapped=False)
+    loaded = load_generator_params(p)
+    assert "constant" in loaded
