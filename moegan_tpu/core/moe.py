@@ -82,14 +82,61 @@ class SparseMoE(nn.Module):
         annealing_factor: jax.Array | float = 1.0,
     ):
         """Returns (out [B,T,C], kl scalar, probs [B,T,E])."""
-        probs, _ = self.router(
-            x, w, sampling=training, hard=not training, annealing_factor=annealing_factor
-        )
-
-        out = self._mixture(x, probs)
+        if self.use_pallas:
+            out, probs = self._fused(x, w, training, annealing_factor)
+        else:
+            probs, _ = self.router(
+                x, w, sampling=training, hard=not training,
+                annealing_factor=annealing_factor,
+            )
+            out = self._mixture(x, probs)
 
         kl = self.router.kl_divergence() if training else jnp.zeros((), jnp.float32)
         return out, kl, probs
+
+    def _fused(self, x, w, training, annealing_factor):
+        """Single fused Pallas kernel: router + dispatch + expert FFN.
+
+        Same math as router(...) + _mixture(...): sampled (or mean) router
+        weights, per-image text contribution precomputed and broadcast per
+        token, temperature clamping, then the fused kernel.
+        """
+        from moegan_tpu.ops.fused_moe import fused_moe_ffn
+
+        B, T, C = x.shape
+        h = self.router_hidden
+
+        fw, tw, cw = self.router.sample_weights(training)
+        xt = jnp.nan_to_num(x.astype(jnp.float32), nan=0.0, posinf=1.0, neginf=-1.0)
+        wt = jnp.nan_to_num(w.astype(jnp.float32), nan=0.0, posinf=1.0, neginf=-1.0)
+
+        text_logits = (wt @ tw) @ cw[h:]  # [B, E]
+        text_tok = jnp.broadcast_to(text_logits[:, None, :], (B, T, self.num_experts))
+
+        eff_temp = jnp.clip(self.router.temperature[0] * annealing_factor, 0.5, 5.0)
+        inv_temp = 1.0 / eff_temp
+
+        tokens = xt.reshape(B * T, C).astype(self.compute_dtype)
+        tl = text_tok.reshape(B * T, self.num_experts).astype(jnp.float32)
+
+        # Pad the token axis to the kernel tile size; sliced off below.
+        block_t = 256
+        n = tokens.shape[0]
+        pad = (-n) % min(block_t, n) if n else 0
+        if pad:
+            tokens = jnp.pad(tokens, ((0, pad), (0, 0)))
+            tl = jnp.pad(tl, ((0, pad), (0, 0)))
+
+        out, probs = fused_moe_ffn(
+            tokens, fw.astype(self.compute_dtype), cw[:h].astype(jnp.float32),
+            tl, inv_temp,
+            self.w1.astype(self.compute_dtype), self.b1.astype(jnp.float32),
+            self.w2.astype(self.compute_dtype), self.b2.astype(jnp.float32),
+            not training, block_t,
+        )
+        out = out[:n].reshape(B, T, C).astype(x.dtype)
+        probs = probs[:n].reshape(B, T, self.num_experts)
+        return out, probs
 
     def _mixture(self, x: jax.Array, probs: jax.Array) -> jax.Array:
         """Dense mixture over all experts: sum_e p_e * FFN_e(x).

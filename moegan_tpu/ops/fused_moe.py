@@ -1,0 +1,237 @@
+"""Fused Bayesian-MoE dispatch kernel (Pallas, TPU).
+
+The north-star op: router projection -> temperature softmax (-> hard top-1
+at eval) -> all-expert FFN -> probability-weighted combine, executed as
+ONE on-device kernel. The XLA einsum formulation (core/moe.py) materializes
+the [E, T, 4C] expert activations in HBM; this kernel keeps them in VMEM,
+streaming token tiles against each expert's weights.
+
+Grid: (T/block_t, E) with E innermost. Each program:
+  - recomputes the routing probabilities for its token tile (cheap: the
+    router is [C,h]x[h,E] with h=128, E=4),
+  - runs its expert's FFN on the tile,
+  - accumulates prob-weighted output into the shared out tile.
+
+The Bayesian weight sampling (reparameterized epsilon draws) happens just
+outside the kernel — it's a few tiny elementwise ops on [C,128]/[256,E]
+matrices that XLA fuses into the kernel's input stream; the heavy math
+(projection, softmax, dispatch, expert matmuls, combine) is all in-kernel.
+
+Backward: custom_vjp recomputes through the identical XLA formulation
+(`moe_ffn_reference`), so gradients are exact while the forward pass gets
+the fused-kernel memory/bandwidth win.
+
+probs parity contract with core/moe.py: clamp(logits/temp, +-20) ->
+softmax -> floor 1e-6 -> renorm -> optional one-hot(argmax); verified by
+tests/test_fused_moe.py against the reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 erf (max abs error 1.5e-7) — Mosaic lowers
+    neither erf nor erfc, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _exact_gelu(x):
+    """erf-GELU: 0.5*x*(1 + erf(x/sqrt(2))) (torch nn.GELU default)."""
+    xf = x.astype(jnp.float32)
+    return 0.5 * xf * (1.0 + _erf_poly(xf * 0.7071067811865476))
+
+
+def _routing_probs(feat_logits, hard: bool):
+    """Shared logits->probs tail (parity with BayesianRouter.__call__)."""
+    logits = jnp.clip(feat_logits, -20.0, 20.0)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.clip(probs, 1e-6, 1.0)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    if hard:
+        mx = jnp.max(probs, axis=-1, keepdims=True)
+        onehot = (probs == mx).astype(probs.dtype)
+        probs = onehot / jnp.sum(onehot, axis=-1, keepdims=True)
+    return probs
+
+
+def moe_ffn_reference(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard):
+    """XLA reference formulation (identical math; backward + fallback)."""
+    xf = x.astype(jnp.float32)
+    feat_proj = xf @ fw.astype(jnp.float32)  # [T, h]
+    logits = (feat_proj @ cw_f.astype(jnp.float32) + text_logits) * inv_temp
+    probs = _routing_probs(logits, hard)
+
+    cd = x.dtype
+    h = jnp.einsum("tc,ecf->etf", x, w1.astype(cd), preferred_element_type=jnp.float32)
+    h = h + b1[:, None, :].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(cd)
+    y = jnp.einsum("etf,efc->etc", h, w2.astype(cd), preferred_element_type=jnp.float32)
+    y = y + b2[:, None, :].astype(jnp.float32)
+    out = jnp.einsum("te,etc->tc", probs, y)
+    return out.astype(x.dtype), probs.astype(jnp.float32)
+
+
+def _fused_moe_kernel(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref, probs_ref, *, num_experts: int, hard: bool,
+):
+    """One (token-tile, expert) program."""
+    e = pl.program_id(1)
+
+    x = x_ref[:]  # [blk_t, C]
+    xf = x.astype(jnp.float32)
+
+    # Routing probabilities for this tile (recomputed per expert pass —
+    # [blk_t, h] x [h, E] is noise next to the FFN matmuls).
+    feat_proj = jax.lax.dot_general(
+        xf, fw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jax.lax.dot_general(
+        feat_proj, cw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (logits + tl_ref[:]) * it_ref[0]
+    probs = _routing_probs(logits, hard)  # [blk_t, E]
+
+    @pl.when(e == 0)
+    def _():
+        probs_ref[:] = probs
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # This expert's FFN on the tile.
+    cd = x.dtype
+    h = jax.lax.dot_general(
+        x, w1_ref[0].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _exact_gelu(h).astype(cd)
+    y = jax.lax.dot_general(
+        h, w2_ref[0].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + b2_ref[0].astype(jnp.float32)
+
+    # probs[:, e] via an iota mask — dynamic_slice on the lane axis does
+    # not lower in Mosaic.
+    lane = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 1)
+    p_e = jnp.sum(jnp.where(lane == e, probs, 0.0), axis=-1, keepdims=True)
+    out_ref[:] += (p_e * y).astype(out_ref.dtype)
+
+
+def _fused_moe_pallas(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,
+                      hard: bool, block_t: int):
+    T, C = x.shape
+    E = w1.shape[0]
+    F = w1.shape[-1]
+    hdim = fw.shape[-1]
+
+    it = jnp.full((1,), inv_temp, jnp.float32)
+    # Biases carry a singleton row so their blocks match TPU tiling rules
+    # (block trailing dims must divide (8, 128) or equal the array's).
+    b1r = b1[:, None, :]
+    b2r = b2[:, None, :]
+
+    grid = (T // block_t, E)
+    out, probs = pl.pallas_call(
+        functools.partial(_fused_moe_kernel, num_experts=E, hard=hard),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hdim), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, E), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), x.dtype),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F),
+            transcendentals=T * E + T * F * E,
+        ),
+    )(x, fw, cw_f, text_logits, it, w1, b1r, w2, b2r)
+    return out, probs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_moe_ffn(
+    x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,
+    hard: bool = False, block_t: int = 256,
+):
+    """Fused router+dispatch+FFN.
+
+    Args:
+      x: [T, C] tokens. fw: [C, h] (sampled) feature projection.
+      cw_f: [h, E] feature half of the combined projection.
+      text_logits: [T, E] per-token text contribution (text_proj @ cw_t).
+      inv_temp: scalar 1/effective_temperature.
+      w1/b1/w2/b2: stacked expert FFN weights [E, C, 4C]/[E, 4C]/...
+      hard: top-1 one-hot routing (eval path).
+
+    Returns (out [T, C], probs [T, E]).
+    """
+    return _fused_impl(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t)
+
+
+def _pallas_supported(x, block_t) -> bool:
+    T, C = x.shape
+    return (
+        jax.default_backend() == "tpu"
+        and T % block_t == 0
+        and C % 8 == 0
+    )
+
+
+def _fused_impl(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t):
+    block_t = min(block_t, x.shape[0])
+    if not _pallas_supported(x, block_t):
+        return moe_ffn_reference(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard)
+    return _fused_moe_pallas(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t)
+
+
+def _fused_fwd(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t):
+    out = _fused_impl(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t)
+    return out, (x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2)
+
+
+def _fused_bwd(hard, block_t, res, g):
+    x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: moe_ffn_reference(*a, hard), x, fw, cw_f, text_logits,
+        inv_temp, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+fused_moe_ffn.defvjp(_fused_fwd, _fused_bwd)

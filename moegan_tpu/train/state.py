@@ -76,6 +76,8 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array, mesh=None) -> TrainStat
     g_tx, d_tx = make_optimizers(cfg, steps)
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from moegan_tpu.parallel.sharding import make_param_shardings
 
         g_shardings = make_param_shardings(
@@ -86,9 +88,32 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array, mesh=None) -> TrainStat
         )
         g_params = jax.device_put(g_params, g_shardings)
         d_params = jax.device_put(d_params, d_shardings)
-        # Optimizer states inherit the param shardings via propagation.
-        g_opt_state = jax.jit(g_tx.init)(g_params)
-        d_opt_state = jax.jit(d_tx.init)(d_params)
+
+        # Optimizer moments mirror the param pytree inside optax's wrapper
+        # states; pin their shardings explicitly (propagation alone leaves
+        # them replicated): any leaf whose shape matches an expert-sharded
+        # param shape gets the expert spec.
+        expert_shapes = {
+            tuple(p.shape)
+            for p, s in zip(
+                jax.tree_util.tree_leaves(g_params),
+                jax.tree_util.tree_leaves(g_shardings),
+            )
+            if s.spec and s.spec[0] == cfg.mesh.expert_axis
+        }
+
+        def opt_shardings(tx, params):
+            shape_tree = jax.eval_shape(tx.init, params)
+            def rule(leaf):
+                if tuple(leaf.shape) in expert_shapes:
+                    return NamedSharding(
+                        mesh, P(cfg.mesh.expert_axis, *([None] * (leaf.ndim - 1)))
+                    )
+                return NamedSharding(mesh, P())
+            return jax.tree_util.tree_map(rule, shape_tree)
+
+        g_opt_state = jax.jit(g_tx.init, out_shardings=opt_shardings(g_tx, g_params))(g_params)
+        d_opt_state = jax.jit(d_tx.init, out_shardings=opt_shardings(d_tx, d_params))(d_params)
     else:
         g_opt_state = g_tx.init(g_params)
         d_opt_state = d_tx.init(d_params)

@@ -1,0 +1,122 @@
+"""Fused MoE op: XLA reference formulation vs the einsum SparseMoE path,
+Pallas kernel numerics in interpret mode, gradient flow."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moegan_tpu.core.moe import SparseMoE
+from moegan_tpu.ops.fused_moe import (
+    _fused_moe_kernel,
+    fused_moe_ffn,
+    moe_ffn_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def moes():
+    """Two SparseMoE modules sharing params: einsum path vs fused path."""
+    kwargs = dict(dim=8, text_dim=12, num_experts=4, router_hidden=8,
+                  compute_dtype=jnp.float32)
+    m_ein = SparseMoE(use_pallas=False, **kwargs)
+    m_fused = SparseMoE(use_pallas=True, **kwargs)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 9, 8))
+    w = jax.random.normal(jax.random.fold_in(k, 1), (2, 12))
+    params = m_ein.init({"params": k, "router": k}, x, w)
+    return m_ein, m_fused, params, x, w
+
+
+def test_fused_matches_einsum_eval(moes):
+    m_ein, m_fused, params, x, w = moes
+    out1, kl1, p1 = m_ein.apply(params, x, w, training=False)
+    out2, kl2, p2 = m_fused.apply(params, x, w, training=False)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_matches_einsum_train_same_rng(moes):
+    m_ein, m_fused, params, x, w = moes
+    r = {"router": jax.random.PRNGKey(5)}
+    out1, kl1, p1 = m_ein.apply(params, x, w, training=True, rngs=r)
+    out2, kl2, p2 = m_fused.apply(params, x, w, training=True, rngs=r)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-5)
+    assert float(kl1) == float(kl2)
+
+
+def test_fused_gradients_flow(moes):
+    _, m_fused, params, x, w = moes
+
+    def loss(p):
+        out, kl, probs = m_fused.apply(
+            p, x, w, training=True, rngs={"router": jax.random.PRNGKey(1)}
+        )
+        return jnp.sum(out**2) + 0.1 * jnp.sum(probs**2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # expert weights and router means must receive gradient
+    gp = grads["params"]
+    assert float(jnp.abs(gp["w1"]).sum()) > 0
+    assert float(jnp.abs(gp["router"]["feature_mu"]).sum()) > 0
+
+
+def test_kernel_interpret_matches_reference():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C, H, E, F = 64, 16, 8, 4, 64
+    BT = 32
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    fw = jax.random.normal(ks[1], (C, H)) * 0.1
+    cw = jax.random.normal(ks[2], (H, E)) * 0.1
+    tl = jax.random.normal(ks[3], (T, E)) * 0.1
+    w1 = jax.random.normal(ks[4], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[5], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[6], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[7], (E, C)) * 0.1
+    it = jnp.full((1,), 0.5, jnp.float32)
+
+    for hard in (False, True):
+        out, probs = pl.pallas_call(
+            functools.partial(_fused_moe_kernel, num_experts=E, hard=hard),
+            grid=(T // BT, E),
+            in_specs=[
+                pl.BlockSpec((BT, C), lambda t, e: (t, 0)),
+                pl.BlockSpec((C, H), lambda t, e: (0, 0)),
+                pl.BlockSpec((H, E), lambda t, e: (0, 0)),
+                pl.BlockSpec((BT, E), lambda t, e: (t, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0)),
+                pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0)),
+                pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0)),
+                pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((BT, C), lambda t, e: (t, 0)),
+                pl.BlockSpec((BT, E), lambda t, e: (t, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, C), jnp.float32),
+                jax.ShapeDtypeStruct((T, E), jnp.float32),
+            ],
+            interpret=True,
+        )(x, fw, cw, tl, it, w1, b1[:, None, :], w2, b2[:, None, :])
+
+        want_out, want_probs = moe_ffn_reference(x, fw, cw, tl, 0.5, w1, b1, w2, b2, hard)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(want_probs), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want_out), rtol=1e-4, atol=1e-5)
+
+
+def test_padding_path(moes):
+    """Token counts that don't tile still produce correct slices."""
+    _, m_fused, params, x, w = moes
+    out, _, probs = m_fused.apply(params, x, w, training=False)
+    assert out.shape == (2, 9, 8) and probs.shape == (2, 9, 4)
