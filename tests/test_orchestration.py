@@ -1,0 +1,98 @@
+"""Orchestration layer: flag store, job runner, staged pipeline,
+model-metrics publication."""
+
+import json
+import os
+import sys
+
+import pytest
+
+from moegan_tpu.orchestration.flags import FlagStore
+from moegan_tpu.orchestration.jobs import JobRunner, JobSpec
+from moegan_tpu.orchestration.pipeline import Pipeline, publish_model_metrics
+
+
+def test_flag_store_roundtrip(tmp_path):
+    fs = FlagStore(str(tmp_path / "flags.json"))
+    assert fs.get("run-hpo") is False  # default
+    fs.set("run-hpo", True)
+    assert fs.get("run-hpo") is True
+    fs.reset("run-hpo")
+    assert fs.get("run-hpo") is False
+    assert set(fs.all()) >= {"skip-build", "upload-data", "run-hpo", "skip-training"}
+
+
+def test_job_runner_lifecycle(tmp_path):
+    runner = JobRunner(str(tmp_path))
+    spec = JobSpec(
+        name="echo-job",
+        command=[sys.executable, "-c",
+                 "import json,os;"
+                 "hp=json.load(open(os.environ['HYPERPARAMETERS_PATH']));"
+                 "print('[METRIC] val_clip_loss:', hp['lr']);"
+                 "print('[METRIC] val_clip_loss: 0.5')"],
+        hyperparameters={"lr": 0.75},
+    )
+    rec = runner.submit(spec)
+    rec = runner.wait(rec.job_name, poll_seconds=0.1)
+    assert rec.status == "Completed"
+    assert rec.describe()["TrainingJobStatus"] == "Completed"
+    # hyperparameters arrive stringified (SageMaker contract)
+    hp = json.load(open(os.path.join(rec.job_dir, "hyperparameters.json")))
+    assert hp["lr"] == "0.75"
+    assert runner.metrics(rec.job_name, "val_clip_loss") == [0.75, 0.5]
+
+
+def test_job_runner_failure_status(tmp_path):
+    runner = JobRunner(str(tmp_path))
+    rec = runner.submit(JobSpec("bad", [sys.executable, "-c", "raise SystemExit(3)"]))
+    rec = runner.wait(rec.job_name, poll_seconds=0.1)
+    assert rec.status == "Failed" and rec.exit_code == 3
+
+
+def test_pipeline_flag_gating_and_handoff(tmp_path):
+    p = Pipeline(str(tmp_path))
+    calls = []
+    p.register("preprocessing", lambda ctx: calls.append("pre"))
+    p.register("hpo", lambda ctx: (calls.append("hpo"), {"best_lr": 3e-4})[1])
+    p.register("training", lambda ctx: (calls.append("train"), {"ckpt": "x"})[1])
+    p.register("deployment", lambda ctx: calls.append(("deploy", ctx.get("ckpt"))))
+
+    # default flags: preprocessing+hpo skipped, training+deployment run
+    ctx = p.run()
+    assert calls == ["train", ("deploy", "x")]
+    statuses = {h["stage"]: h["status"] for h in ctx["history"]}
+    assert statuses["preprocessing"] == "SKIPPED" and statuses["hpo"] == "SKIPPED"
+    assert statuses["training"] == "SUCCEEDED"
+
+    # flags open the gates and are one-shot
+    calls.clear()
+    p.flags.set("run-hpo", True)
+    p.flags.set("upload-data", True)
+    ctx = p.run()
+    assert calls[0] == "pre" and calls[1] == "hpo"
+    assert p.flags.get("run-hpo") is False  # consumed
+
+
+def test_pipeline_failure_stops_chain(tmp_path):
+    p = Pipeline(str(tmp_path))
+    def boom(ctx):
+        raise RuntimeError("nope")
+    ran = []
+    p.register("training", boom)
+    p.register("deployment", lambda ctx: ran.append(1))
+    ctx = p.run()
+    statuses = {h["stage"]: h["status"] for h in ctx["history"]}
+    assert statuses["training"] == "FAILED"
+    assert not ran
+
+
+def test_publish_model_metrics(tmp_path):
+    path = str(tmp_path / "model_metrics.json")
+    doc = publish_model_metrics(
+        {"val_clip_loss": 0.8099, "val_d_loss": 1.9575},
+        path, training_job="gan-train-x", hyperparameters={"lr": 6.7e-4},
+    )
+    loaded = json.load(open(path))
+    assert loaded["metrics"]["val_clip_loss"] == pytest.approx(0.8099)
+    assert loaded["hyperparameters"]["lr"] == "0.00067"
