@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_percentage", type=float, default=1.0)
     p.add_argument("--expert_parallelism", type=int, default=0,
                    help="0 = auto (gcd of device count and num experts)")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink channels/router for smoke tests and CI")
     return p
 
 
@@ -57,6 +59,8 @@ def config_from_args(args):
 
     r = args.max_resolution
     full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
+    if getattr(args, "tiny", False):
+        full = {4: 32, 8: 24, 16: 16, 32: 16, 64: 8}
     channels = {k: v for k, v in full.items() if k <= r}
     if args.clip_weights:
         clip_weights = {int(k): float(v) for k, v in json.loads(args.clip_weights).items()}
@@ -80,7 +84,11 @@ def config_from_args(args):
             balance_weight=args.balance_weight,
             clip_weights=clip_weights,
         ),
-        generator=GeneratorConfig(max_resolution=r, channels=channels),
+        generator=GeneratorConfig(
+            max_resolution=r,
+            channels=channels,
+            router_hidden=8 if getattr(args, "tiny", False) else 128,
+        ),
         discriminator=DiscriminatorConfig(max_resolution=r),
         mesh=MeshConfig(expert_parallelism=args.expert_parallelism),
     )
