@@ -54,15 +54,19 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.queue_size)
         stop = threading.Event()
 
+        from moegan_tpu.data import native
+
         def worker():
             try:
                 for s in range(self.steps_per_epoch):
                     if stop.is_set():
                         return
                     idx = order[s * self.batch_size : (s + 1) * self.batch_size]
-                    imgs = self.dataset.images[idx]
-                    txts = self.dataset.text_embeddings[idx]
-                    q.put({"image": np.asarray(imgs), "text": np.asarray(txts)})
+                    # Native multithreaded gather (C++ thread pool, GIL-free)
+                    # with a numpy fallback.
+                    imgs = native.gather_rows(self.dataset.images, idx)
+                    txts = native.gather_rows(self.dataset.text_embeddings, idx)
+                    q.put({"image": imgs, "text": txts})
             finally:
                 q.put(None)
 
