@@ -1,19 +1,27 @@
-"""Benchmark: imgs/sec/chip for the full 64x64 adversarial train step.
+"""Benchmark: imgs/sec/chip for the 64x64 adversarial train step / generation.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The north-star metric (BASELINE.json) is imgs/sec/chip for the 64x64
-train step + generation. The PyTorch reference publishes no throughput
-numbers (BASELINE.md), so vs_baseline is measured against this repo's own
-recorded first-round baseline (bench_baseline.json, created on first run) —
-the ratio tracks round-over-round improvement on identical hardware.
+Measurement protocol: the whole timed loop runs INSIDE one jit
+(lax.scan over train steps / generation calls) and timing brackets a
+single dispatch plus a hard host read of a scalar that depends on every
+iteration. Per-dispatch timing through the axon tunnel is unreliable
+(async completion signals fire early and per-call latency is tens of ms),
+so naive loops overstate or understate throughput by large factors; the
+scan protocol measures pure on-device execution with one tunnel roundtrip,
+amortized over `--steps` iterations. Dispatch overhead is estimated by a
+1-step run and subtracted.
+
+The PyTorch reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline compares against this repo's own recorded first-round baseline
+(bench_baseline.json, created on first run per config key).
 
 Flags:
-  --resolution 64     image resolution (16 reproduces the reference regime)
-  --batch 32          per-chip batch size
-  --steps 20          timed steps (after warmup)
-  --with-clip         include the multi-level CLIP perceptual loss
-  --mode train|gen    train step throughput or pure generation throughput
+  --resolution 64   image resolution (16 reproduces the reference regime)
+  --batch 32        per-chip batch size
+  --steps 16        timed steps inside the scan
+  --with-clip       include the multi-level CLIP perceptual loss
+  --mode train|gen  train-step or pure-generation throughput
 """
 
 from __future__ import annotations
@@ -28,8 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resolution", type=int, default=64)
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--with-clip", action="store_true")
     ap.add_argument("--mode", choices=["train", "gen"], default="train")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
@@ -37,8 +44,6 @@ def main():
 
     import jax
 
-    # Persistent compilation cache: first-compile through the TPU tunnel is
-    # slow; later bench invocations reuse the compiled step.
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -49,18 +54,19 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from moegan_tpu.config import (
         DiscriminatorConfig,
         GeneratorConfig,
-        LossConfig,
         MeshConfig,
         TrainConfig,
     )
     from moegan_tpu.losses.gan import kl_annealing_factor, temperature_factor
     from moegan_tpu.models.generator import AuroraGenerator
-    from moegan_tpu.parallel.api import setup_distributed_training
+    from moegan_tpu.train.state import create_train_state
+    from moegan_tpu.train.step import make_train_step
 
     r = args.resolution
     full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
@@ -91,44 +97,74 @@ def main():
         * kl_annealing_factor(0, cfg.loss.kl_annealing_epochs),
     }
 
-    if args.mode == "train":
-        mesh, state, step_fn = setup_distributed_training(
-            cfg, key, steps_per_epoch=1000, with_clip=args.with_clip
-        )
-        rngs = [jax.random.fold_in(key, 100 + i) for i in range(args.steps + args.warmup)]
-        for i in range(args.warmup):
-            state, m = step_fn(state, batch, rngs[i], schedule, clip_params)
-        jax.block_until_ready(m["d_loss"])
+    def timed(fn, *fn_args):
+        """Run fn once (compile), then time dispatch + hard host read."""
+        out = fn(*fn_args)
+        _ = float(out)  # warm: full execution + transfer
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, m = step_fn(state, batch, rngs[args.warmup + i], schedule, clip_params)
-        jax.block_until_ready(m["d_loss"])
-        dt = time.perf_counter() - t0
+        _ = float(fn(*fn_args))
+        return time.perf_counter() - t0
+
+    if args.mode == "train":
+        raw_step, _ = make_train_step(
+            cfg, 1000, with_clip=args.with_clip, jit_compile=False
+        )
+        state = create_train_state(cfg, key)
+
+        def make_multi(n_steps):
+            @jax.jit
+            def multi(state, batch, rng, schedule, clip_params):
+                def body(carry, i):
+                    st = carry
+                    st, m = raw_step(st, batch, jax.random.fold_in(rng, i), schedule, clip_params)
+                    return st, m["d_loss"]
+
+                st, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+                # fold the final params into the scalar so nothing is dead
+                probe = sum(
+                    jnp.sum(x).astype(jnp.float32)
+                    for x in (st.g_params["constant"], losses)
+                )
+                return probe
+
+            return multi
+
+        t_n = timed(make_multi(args.steps), state, batch, key, schedule, clip_params)
+        t_1 = timed(make_multi(1), state, batch, key, schedule, clip_params)
+        per_step = max((t_n - t_1) / (args.steps - 1), 1e-9)
         metric_name = f"imgs/sec/chip ({r}x{r} G+D train step)"
     else:
         gen = AuroraGenerator(cfg.generator)
         z = jax.random.normal(key, (args.batch, cfg.generator.latent_dim))
-        text = batch["text"]
-        params = gen.init({"params": key, "router": key}, z, text)["params"]
+        params = gen.init({"params": key, "router": key}, z, batch["text"])["params"]
 
-        @jax.jit
-        def gen_fn(params, z, text):
-            return gen.apply(
-                {"params": params}, z, text, truncation_psi=0.7, training=False
-            ).image
+        def make_multi(n_steps):
+            @jax.jit
+            def multi(params, rng, text):
+                def body(carry, i):
+                    zi = jax.random.normal(
+                        jax.random.fold_in(rng, i), (args.batch, cfg.generator.latent_dim)
+                    )
+                    img = gen.apply(
+                        {"params": params}, zi, text, truncation_psi=0.7, training=False
+                    ).image
+                    return carry + jnp.sum(img).astype(jnp.float32), None
 
-        out = gen_fn(params, z, text)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            out = gen_fn(params, z, text)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+                acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_steps))
+                return acc
+
+            return multi
+
+        t_n = timed(make_multi(args.steps), params, key, batch["text"])
+        t_1 = timed(make_multi(1), params, key, batch["text"])
+        per_step = max((t_n - t_1) / (args.steps - 1), 1e-9)
         metric_name = f"imgs/sec/chip ({r}x{r} generation)"
 
-    imgs_per_sec_per_chip = args.batch * args.steps / dt / n_chips
+    imgs_per_sec_per_chip = args.batch / per_step / n_chips
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
     baseline_key = f"{args.mode}_{r}_{args.batch}_clip{int(args.with_clip)}"
     baselines = {}
     if os.path.exists(baseline_path):

@@ -87,6 +87,13 @@ class GeneratorConfig(_JsonMixin):
     # elsewhere / when False).
     use_pallas: bool = True
 
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]):
+        d = dict(d)
+        if "channels" in d and isinstance(d["channels"], Mapping):
+            d["channels"] = {int(k): int(v) for k, v in d["channels"].items()}
+        return super().from_dict(d)
+
     def resolutions(self) -> Sequence[int]:
         res, r = [], 4
         while r <= self.max_resolution:
@@ -147,6 +154,13 @@ class LossConfig(_JsonMixin):
     clip_weights: Mapping[int, float] = field(
         default_factory=lambda: {64: 0.1, 32: 0.05, 16: 0.025, 8: 0.0125}
     )
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]):
+        d = dict(d)
+        if "clip_weights" in d and isinstance(d["clip_weights"], Mapping):
+            d["clip_weights"] = {int(k): float(v) for k, v in d["clip_weights"].items()}
+        return super().from_dict(d)
     # Reference computes CLIP image features under no_grad (:99-101), so
     # the CLIP loss is monitored but contributes no generator gradient.
     # True reproduces that; False lets gradients flow (the "fixed" mode).

@@ -107,10 +107,12 @@ class InferenceHandler:
         psi = float(request.get("truncation_psi", 0.7))
         seed = int(request.get("seed", int(time.time()) % (2**31)))
 
+        # Always run the generator at MAX_NUM_SAMPLES and slice: one
+        # compiled shape serves every request (no per-num_samples jit).
         images, stats = self.sampler(
-            text, num_samples, psi, seed=seed, return_stats=True
+            text, MAX_NUM_SAMPLES, psi, seed=seed, return_stats=True
         )
-        images = np.asarray(images)
+        images = np.asarray(images)[:num_samples]
         resp = {
             "images": images_to_b64_pngs(images),
             "prompt": text,

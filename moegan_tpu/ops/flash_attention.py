@@ -37,18 +37,20 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: flo
     t = k_ref.shape[0]
     n_kv = t // block_k
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    # Keep Q/K/V in their storage dtype (bf16 in training) so the MXU runs
+    # single-pass matmuls; accumulate in fp32 via preferred_element_type.
+    q = q_ref[:]
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
 
         s = jax.lax.dot_general(
             q, k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * sm_scale  # [block_q, block_k] fp32
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -57,7 +59,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: flo
 
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk,
+            p.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -36,7 +36,12 @@ from moegan_tpu.models.generator import AuroraGenerator
 from moegan_tpu.train.state import TrainState, make_optimizers
 
 
-def make_train_step(cfg: TrainConfig, steps_per_epoch: int | None = None, with_clip: bool = True):
+def make_train_step(
+    cfg: TrainConfig,
+    steps_per_epoch: int | None = None,
+    with_clip: bool = True,
+    jit_compile: bool = True,
+):
     """Build the jitted train step.
 
     Returns step_fn(state, batch, rng, schedule, clip_params) -> (state,
@@ -150,7 +155,9 @@ def make_train_step(cfg: TrainConfig, steps_per_epoch: int | None = None, with_c
         metrics = dict(d_loss=d_gan, r1_loss=r1, d_total=d_total, g_total=g_total, **g_aux)
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,)), (g_tx, d_tx)
+    if jit_compile:
+        return jax.jit(step_fn, donate_argnums=(0,)), (g_tx, d_tx)
+    return step_fn, (g_tx, d_tx)
 
 
 def make_eval_step(cfg: TrainConfig, with_clip: bool = True):
