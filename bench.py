@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--with-clip", action="store_true")
     ap.add_argument("--mode", choices=["train", "gen"], default="train")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable generative-block rematerialization")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
 
@@ -72,7 +74,9 @@ def main():
     full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
     channels = {k: v for k, v in full.items() if k <= r}
     cfg = TrainConfig(
-        generator=GeneratorConfig(max_resolution=r, channels=channels),
+        generator=GeneratorConfig(
+            max_resolution=r, channels=channels, remat_blocks=not args.no_remat
+        ),
         discriminator=DiscriminatorConfig(max_resolution=r),
         mesh=MeshConfig(expert_parallelism=0),
         steps_per_epoch=1000,
@@ -166,6 +170,8 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
     baseline_key = f"{args.mode}_{r}_{args.batch}_clip{int(args.with_clip)}"
+    if args.no_remat:
+        baseline_key += "_noremat"
     baselines = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:

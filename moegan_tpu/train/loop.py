@@ -77,6 +77,9 @@ def train_aurora_gan(
         f"Discriminator parameters: {count_params(state.d_params):,}"
     )
 
+    from moegan_tpu.utils.profiling import MemoryMonitor
+
+    mem = MemoryMonitor(interval=max(cfg.log_interval, 1) * 10)
     ema = EMAMeter(0.9)
     step = int(state.step)
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -102,6 +105,7 @@ def train_aurora_gan(
             state, metrics = step_fn(state, batch, step_rng, schedule, clip_params)
             n_imgs += cfg.batch_size
             step += 1
+            mem.step(step)
 
             if step % cfg.log_interval == 0:
                 host = {

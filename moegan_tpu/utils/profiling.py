@@ -21,6 +21,16 @@ import jax
 logger = logging.getLogger("moegan_tpu")
 
 
+def enable_debug_mode(nans: bool = True):
+    """Debug-mode numerics checking — the TPU analog of the reference's
+    cudnn-determinism flags + NaN print guards (SURVEY.md §5): determinism
+    is already structural (explicit PRNG threading); this adds eager NaN
+    trapping so a poisoned op faults at its source instead of surfacing
+    as a skipped step."""
+    if nans:
+        jax.config.update("jax_debug_nans", True)
+
+
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/moegan_trace"):
     """Profile a region: `with trace(dir): step(...)` -> xprof dump."""
