@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--mode", choices=["train", "gen"], default="train")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable generative-block rematerialization")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable Pallas kernels (XLA einsum MoE + chunked attention)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
 
@@ -75,7 +77,8 @@ def main():
     channels = {k: v for k, v in full.items() if k <= r}
     cfg = TrainConfig(
         generator=GeneratorConfig(
-            max_resolution=r, channels=channels, remat_blocks=not args.no_remat
+            max_resolution=r, channels=channels, remat_blocks=not args.no_remat,
+            use_pallas=not args.no_pallas,
         ),
         discriminator=DiscriminatorConfig(max_resolution=r),
         mesh=MeshConfig(expert_parallelism=0),
@@ -172,6 +175,8 @@ def main():
     baseline_key = f"{args.mode}_{r}_{args.batch}_clip{int(args.with_clip)}"
     if args.no_remat:
         baseline_key += "_noremat"
+    if args.no_pallas:
+        baseline_key += "_nopallas"
     baselines = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:

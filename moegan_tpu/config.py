@@ -81,8 +81,11 @@ class GeneratorConfig(_JsonMixin):
     # bf16 activations for MXU throughput; params stay fp32.
     compute_dtype: str = "bfloat16"
     # Rematerialize generative blocks (TPU analog of the reference's
-    # torch.utils.checkpoint usage, :712-722,734-760).
-    remat_blocks: bool = True
+    # torch.utils.checkpoint usage, :712-722,734-760). Off by default:
+    # activations fit HBM comfortably at this model scale and remat costs
+    # ~14% train throughput (bench sweep, round 1); enable when scaling
+    # resolution/batch past HBM.
+    remat_blocks: bool = False
     # Use Pallas kernels on TPU for the hot ops (falls back to XLA
     # elsewhere / when False).
     use_pallas: bool = True

@@ -1,16 +1,25 @@
-"""Fused flash attention (Pallas, TPU).
+"""Fused flash attention (Pallas, TPU) — forward AND backward kernels.
 
 Online-softmax attention that never materializes the [T, T] score matrix
 in HBM — the TPU-native answer to the reference's nn.MultiheadAttention
 over spatial tokens (t2i_moe_gan.py:545-555), which at the rebuilt 64x64
-resolution would allocate B*H*4096^2 scores. Forward is a single Pallas
-kernel (grid over batch*heads x query blocks, inner fori_loop over kv
-blocks with running max/sum rescaling); backward uses the checkpointed
-chunked-XLA path (O(blk*T) memory) via custom_vjp.
+resolution would allocate B*H*4096^2 scores. The training step is
+HBM-bandwidth-bound (XLA cost analysis, round 1), so the backward is also
+fused: the standard flash-attention backward recomputes probabilities
+from the saved per-row logsumexp and keeps every [blk, blk] tile in VMEM,
+replacing the chunked-XLA recompute that wrote [blk, T] fp32 buffers.
 
-Layout: q, k, v are [B, T, H, D]; heads fold into the grid so each program
-streams one query tile against the full K/V of its (batch, head) slice.
-D stays in [8, 128]; tiles are (block_q x D) and (block_k x D).
+Layout: q, k, v are [B, T, H, D]; heads fold into the grid so each
+program streams one tile against the full K/V of its (batch, head) slice.
+
+Backward math (non-causal):
+  L_i   = logsumexp_j(s_ij)            (saved by the forward)
+  p_ij  = exp(s_ij - L_i)
+  D_i   = sum_d(do_id * o_id)          (precomputed per row)
+  ds_ij = p_ij * (do_i . v_j - D_i)
+  dq_i  = scale * sum_j ds_ij k_j
+  dk_j  = scale * sum_i ds_ij q_i
+  dv_j  = sum_i p_ij do_i
 """
 
 from __future__ import annotations
@@ -28,17 +37,23 @@ from moegan_tpu.ops.chunked_attention import chunked_attention
 NEG_INF = -1e30
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
-    q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D].
+    q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
+    lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used).
     """
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
     n_kv = t // block_k
 
-    # Keep Q/K/V in their storage dtype (bf16 in training) so the MXU runs
-    # single-pass matmuls; accumulate in fp32 via preferred_element_type.
+    # Keep Q/K/V in storage dtype (bf16 in training) for single-pass MXU
+    # matmuls; accumulate fp32 via preferred_element_type.
     q = q_ref[:]
 
     def body(i, carry):
@@ -68,40 +83,202 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: flo
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape)
 
 
-def _flash_forward(q, k, v, *, block_q: int, block_k: int):
+def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = False):
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
 
-    # Fold heads into the grid: [B*H, T, D].
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     grid = (B * H, T // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * T * D,
-            bytes_accessed=(3 * B * H * T * D + B * H * T * D) * 2,
+            bytes_accessed=(4 * B * H * T * D) * 2,
             transcendentals=B * H * T * T,
         ),
     )(qf, kf, vf)
-    return out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    if with_lse:
+        return out, lse[:, :, :1]  # [BH, T, 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, block_k: int, sm_scale: float):
+    """dq for one q tile: loop kv tiles, recompute p from saved lse."""
+    block_q, d = q_ref.shape
+    t = k_ref.shape[0]
+    n_kv = t // block_k
+
+    q = q_ref[:]
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:, :1]  # [block_q, 1]
+    delta = delta_ref[:, :1]  # [block_q, 1]
+
+    def body(i, dq_acc):
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = jnp.exp(s - lse)  # [block_q, block_k]
+
+        dp = jax.lax.dot_general(
+            do.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+        ds = p * (dp - delta)
+
+        dq_acc = dq_acc + jax.lax.dot_general(
+            ds.astype(k_blk.dtype), k_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq_acc
+
+    dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, sm_scale: float):
+    """dk/dv for one kv tile: loop q tiles."""
+    block_k, d = k_ref.shape
+    t = q_ref.shape[0]
+    n_q = t // block_q
+
+    k_blk = k_ref[:]
+    v_blk = v_ref[:]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[pl.ds(i * block_q, block_q), :]
+        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[pl.ds(i * block_q, block_q), :1]
+
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        p = jnp.exp(s - lse)  # [block_q, block_k]
+
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, D]
+
+        dp = jax.lax.dot_general(
+            do.astype(v_blk.dtype), v_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)  # [block_q, block_k]
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_k, D]
+        return dk_acc, dv_acc
+
+    dk, dv = jax.lax.fori_loop(
+        0, n_q, body,
+        (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32)),
+    )
+    dk_ref[:] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
+    B, T, H, D = q.shape
+    sm_scale = 1.0 / math.sqrt(D)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+
+    qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
+    # delta_i = sum_d(do * o), broadcast over 128 lanes for tiling.
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
+    delta128 = jnp.broadcast_to(delta, (B * H, T, 128))
+    lse128 = jnp.broadcast_to(lse, (B * H, T, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+        grid=(B * H, T // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+    )(qf, kf, vf, gf, lse128, delta128)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
+        grid=(B * H, T // block_k),
+        in_specs=[
+            pl.BlockSpec((None, T, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+        ],
+    )(qf, kf, vf, gf, lse128, delta128)
+
+    def unfold(x):
+        return x.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -111,7 +288,8 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
     Falls back to the chunked XLA path when shapes don't tile or when not
     running on TPU (e.g. CPU tests).
     """
-    return _flash_impl(q, k, v, block_q, block_k)
+    out, _ = _flash_impl(q, k, v, block_q, block_k)
+    return out
 
 
 def _supported(q, block_q, block_k) -> bool:
@@ -125,19 +303,28 @@ def _flash_impl(q, k, v, block_q, block_k):
     block_q = min(block_q, q.shape[1])
     block_k = min(block_k, k.shape[1])
     if not _supported(q, block_q, block_k):
-        return chunked_attention(q, k, v)
-    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k)
+        return chunked_attention(q, k, v), None
+    out, lse = _flash_forward(q, k, v, block_q=block_q, block_k=block_k, with_lse=True)
+    return out, lse
 
 
 def _flash_fwd_rule(q, k, v, block_q, block_k):
-    return _flash_impl(q, k, v, block_q, block_k), (q, k, v)
+    out, lse = _flash_impl(q, k, v, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(block_q, block_k, res, g):
-    q, k, v = res
-    # Memory-bounded recompute backward through the chunked formulation.
-    _, vjp = jax.vjp(lambda q_, k_, v_: chunked_attention(q_, k_, v_), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    if lse is None:  # fallback path: recompute via chunked XLA
+        _, vjp = jax.vjp(lambda q_, k_, v_: chunked_attention(q_, k_, v_), q, k, v)
+        return vjp(g)
+    return _flash_backward(
+        q, k, v, o, lse, g,
+        block_q=min(block_q, q.shape[1]), block_k=min(block_k, k.shape[1]),
+    )
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+# Backwards-compat alias used by older tests.
+_flash_fwd_kernel = None  # replaced by _fwd_kernel (new signature with lse)

@@ -1,16 +1,17 @@
-"""chunked/flash attention vs naive attention: numerical parity (forward
-and gradients). On CPU flash_attention falls back to the chunked path; the
-Pallas kernel itself is exercised in interpret mode."""
+"""chunked/flash attention vs naive attention: forward + backward parity.
+On CPU flash_attention falls back to the chunked path; the Pallas forward
+and backward kernels are exercised in interpret mode."""
 
 import functools
+from unittest import mock
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from moegan_tpu.ops import flash_attention as fa
 from moegan_tpu.ops.chunked_attention import chunked_attention
-from moegan_tpu.ops.flash_attention import _flash_fwd_kernel, flash_attention
 
 
 def naive(q, k, v):
@@ -48,32 +49,48 @@ def test_chunked_gradients_match_naive(qkv):
 
 def test_flash_falls_back_and_matches(qkv):
     q, k, v = qkv
-    got = flash_attention(q, k, v)  # CPU -> fallback path
+    got = fa.flash_attention(q, k, v)  # CPU -> fallback path
     np.testing.assert_allclose(np.asarray(got), np.asarray(naive(q, k, v)), rtol=2e-5, atol=2e-5)
+    # gradients flow through the fallback VJP
+    g = jax.grad(lambda q: jnp.sum(fa.flash_attention(q, k, v) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
 
 
-def test_flash_kernel_interpret_mode():
-    """Run the Pallas kernel body under the interpreter for numerics."""
+def _interpreted(monkey_fn):
+    """Run fn with pallas_call forced into interpret mode."""
     from jax.experimental import pallas as pl
 
-    T, D, BQ, BK = 64, 16, 32, 32
-    key = jax.random.PRNGKey(3)
-    q = jax.random.normal(key, (T, D), jnp.float32)
-    k = jax.random.normal(jax.random.fold_in(key, 1), (T, D), jnp.float32)
-    v = jax.random.normal(jax.random.fold_in(key, 2), (T, D), jnp.float32)
+    real = pl.pallas_call
 
-    out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=BK, sm_scale=1.0 / np.sqrt(D)),
-        grid=(T // BQ,),
-        in_specs=[
-            pl.BlockSpec((BQ, D), lambda i: (i, 0)),
-            pl.BlockSpec((T, D), lambda i: (0, 0)),
-            pl.BlockSpec((T, D), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((BQ, D), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
-        interpret=True,
-    )(q, k, v)
+    def fake(*a, **kw):
+        kw["interpret"] = True
+        return real(*a, **kw)
 
-    want = naive(q[None, :, None], k[None, :, None], v[None, :, None])[0, :, 0]
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+    return mock.patch.object(fa.pl, "pallas_call", fake)
+
+
+def test_flash_forward_kernel_interpret(qkv):
+    q, k, v = qkv
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, k, v, 32, 64)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, k, v)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_backward_kernels_interpret(qkv):
+    q, k, v = qkv
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 32, 64) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive(q, k, v) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
