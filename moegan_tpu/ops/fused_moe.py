@@ -56,6 +56,14 @@ def _exact_gelu(x):
     return 0.5 * xf * (1.0 + _erf_poly(xf * 0.7071067811865476))
 
 
+def _gelu_grad(z):
+    """d/dz of the erf-GELU: Phi(z) + z * phi(z)."""
+    zf = z.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf_poly(zf * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * zf * zf)
+    return cdf + zf * pdf
+
+
 def _routing_probs(feat_logits, hard: bool):
     """Shared logits->probs tail (parity with BayesianRouter.__call__)."""
     logits = jnp.clip(feat_logits, -20.0, 20.0)
@@ -184,6 +192,264 @@ def _fused_moe_pallas(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,
     return out, probs
 
 
+# ---------------------------------------------------------------------------
+# fused backward kernels
+# ---------------------------------------------------------------------------
+#
+# The XLA-recompute backward materializes the [E, T, 4C] expert activations
+# (fp32) several times; at 64x64 that is ~2 GB of HBM traffic per step.
+# These kernels recompute z/h per (tile, expert) in VMEM:
+#   K_dx : dx_ffn (+ dp from the combine), grid (T_tiles, E), dx resident
+#   K_dw2: dW2/db2, grid (E, T_tiles), dW2 resident across token tiles
+#   K_dw1: dW1/db1, grid (E, T_tiles), dW1 resident across token tiles
+# The router chain (probs pipeline -> dx_router, dfw, dcw, dtl, dinv_temp)
+# is a handful of [T,E]/[T,h] matmuls — it stays in XLA.
+
+
+def _probs_and_expert_tile(x, fw_ref, cw_ref, tl_ref, it_ref, w1_e, b1_e):
+    """Shared recompute: (probs [blk,E], z fp32 [blk,F], h bf16 [blk,F])."""
+    xf = x.astype(jnp.float32)
+    feat_proj = jax.lax.dot_general(
+        xf, fw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jax.lax.dot_general(
+        feat_proj, cw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (logits + tl_ref[:]) * it_ref[0]
+    probs = _routing_probs(logits, hard=False)
+
+    z = jax.lax.dot_general(
+        x, w1_e.astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_e.astype(jnp.float32)
+    h = _exact_gelu(z).astype(x.dtype)
+    return probs, z, h
+
+
+def _p_e(probs, e):
+    lane = jax.lax.broadcasted_iota(jnp.int32, probs.shape, 1)
+    return jnp.sum(jnp.where(lane == e, probs, 0.0), axis=-1, keepdims=True)
+
+
+def _bwd_dx_kernel(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    dout_ref, dx_ref, dp_ref,
+):
+    """dx_ffn and dp(combine) for one token tile; grid (T_tiles, E)."""
+    e = pl.program_id(1)
+    x = x_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+
+    probs, z, h = _probs_and_expert_tile(
+        x, fw_ref, cw_ref, tl_ref, it_ref, w1_ref[0], b1_ref[0]
+    )
+
+    y = jax.lax.dot_general(
+        h, w2_ref[0].astype(h.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+
+    @pl.when(e == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dp_ref[:] = jnp.zeros_like(dp_ref)
+
+    # dp[t, e] = <dout_t, y_e_t>  (one column per expert pass)
+    dp_col = jnp.sum(dout * y, axis=-1, keepdims=True)  # [blk, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dp_ref.shape, 1)
+    dp_ref[:] += jnp.where(lane == e, dp_col, 0.0)
+
+    dy = _p_e(probs, e) * dout  # [blk, C]
+    dh = jax.lax.dot_general(
+        dy.astype(w2_ref.dtype), w2_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, F]
+    dz = dh * _gelu_grad(z)
+    dx_ref[:] += jax.lax.dot_general(
+        dz.astype(w1_ref.dtype), w1_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+
+def _bwd_dw2_kernel(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1_ref, b1_ref, dout_ref,
+    dw2_ref, db2_ref,
+):
+    """dW2/db2 for one expert; grid (E, T_tiles), t innermost."""
+    t = pl.program_id(1)
+    x = x_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+
+    probs, z, h = _probs_and_expert_tile(
+        x, fw_ref, cw_ref, tl_ref, it_ref, w1_ref[0], b1_ref[0]
+    )
+    e = pl.program_id(0)
+    dy = _p_e(probs, e) * dout  # [blk, C]
+
+    @pl.when(t == 0)
+    def _():
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dw2_ref[0] += jax.lax.dot_general(
+        h, dy.astype(h.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2_ref.dtype)
+    db2_ref[0] += jnp.sum(dy, axis=0, keepdims=True).astype(db2_ref.dtype)
+
+
+def _bwd_dw1_kernel(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1_ref, b1_ref, w2_ref, dout_ref,
+    dw1_ref, db1_ref,
+):
+    """dW1/db1 for one expert; grid (E, T_tiles), t innermost."""
+    t = pl.program_id(1)
+    x = x_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+
+    probs, z, h = _probs_and_expert_tile(
+        x, fw_ref, cw_ref, tl_ref, it_ref, w1_ref[0], b1_ref[0]
+    )
+    e = pl.program_id(0)
+    dy = _p_e(probs, e) * dout
+    dh = jax.lax.dot_general(
+        dy.astype(w2_ref.dtype), w2_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz = dh * _gelu_grad(z)
+
+    @pl.when(t == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    dw1_ref[0] += jax.lax.dot_general(
+        x, dz.astype(x.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1_ref.dtype)
+    db1_ref[0] += jnp.sum(dz, axis=0, keepdims=True).astype(db1_ref.dtype)
+
+
+def _router_probs_fn(x, fw, cw_f, text_logits, inv_temp):
+    """Router pipeline only (soft), for the small XLA backward."""
+    xf = x.astype(jnp.float32)
+    feat_proj = xf @ fw.astype(jnp.float32)
+    logits = (feat_proj @ cw_f.astype(jnp.float32) + text_logits) * inv_temp
+    return _routing_probs(logits, hard=False)
+
+
+def _fused_moe_bwd_pallas(res, dout, dprobs, block_t: int):
+    """Assembled backward: Pallas FFN kernels + XLA router chain."""
+    x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
+    T, C = x.shape
+    E, _, F = w1.shape
+    hdim = fw.shape[-1]
+    it = jnp.full((1,), inv_temp, jnp.float32)
+    b1r = b1[:, None, :]
+    b2r = b2[:, None, :]
+    dout = dout.astype(x.dtype)
+
+    common_in = [
+        pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, hdim), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hdim, E), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+
+    dx_ffn, dp_combine = pl.pallas_call(
+        _bwd_dx_kernel,
+        grid=(T // block_t, E),
+        in_specs=common_in + [
+            pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+        ],
+    )(x, fw, cw_f, text_logits, it, w1, b1r, w2, b2r, dout)
+
+    ew_in = [
+        pl.BlockSpec((block_t, C), lambda e, t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, hdim), lambda e, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hdim, E), lambda e, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_t, E), lambda e, t: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, C, F), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, F), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    dw2, db2 = pl.pallas_call(
+        _bwd_dw2_kernel,
+        grid=(E, T // block_t),
+        in_specs=ew_in + [
+            pl.BlockSpec((block_t, C), lambda e, t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, F, C), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, F, C), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, C), jnp.float32),
+        ],
+    )(x, fw, cw_f, text_logits, it, w1, b1r, dout)
+
+    dw1, db1 = pl.pallas_call(
+        _bwd_dw1_kernel,
+        grid=(E, T // block_t),
+        in_specs=ew_in + [
+            pl.BlockSpec((1, F, C), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda e, t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, F), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda e, t: (e, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, C, F), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, F), jnp.float32),
+        ],
+    )(x, fw, cw_f, text_logits, it, w1, b1r, w2, dout)
+
+    # Router chain in XLA: dp_total -> dx_router, dfw, dcw_f, dtl, dinv_temp.
+    dp_total = dprobs.astype(jnp.float32) + dp_combine
+    _, router_vjp = jax.vjp(_router_probs_fn, x, fw, cw_f, text_logits, inv_temp)
+    dx_r, dfw, dcw, dtl, dit = router_vjp(dp_total)
+
+    dx = (dx_ffn + dx_r.astype(jnp.float32)).astype(x.dtype)
+    return (
+        dx,
+        dfw.astype(fw.dtype),
+        dcw.astype(cw_f.dtype),
+        dtl.astype(text_logits.dtype),
+        jnp.asarray(dit, jnp.float32).reshape(()),
+        dw1.astype(w1.dtype),
+        db1[:, 0, :].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[:, 0, :].astype(b2.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_moe_ffn(
     x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,
@@ -227,6 +493,11 @@ def _fused_fwd(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t
 
 def _fused_bwd(hard, block_t, res, g):
     x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
+    dout, dprobs = g
+    bt = min(block_t, x.shape[0])
+    if not hard and _pallas_supported(x, bt):
+        return _fused_moe_bwd_pallas(res, dout, dprobs, bt)
+    # Fallback: recompute through the identical XLA formulation.
     _, vjp = jax.vjp(
         lambda *a: moe_ffn_reference(*a, hard), x, fw, cw_f, text_logits,
         inv_temp, w1, b1, w2, b2,

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""End-to-end demo: train the 16x16 reference-config MoE-GAN on the
+synthetic fixture (TPU), save metrics, checkpoints, and a sample grid.
+
+Produces runs/demo/{metrics.jsonl, samples.png, expert_utilization.json}.
+This is the smoke equivalent of the reference's pinned cloud run — real
+COCO training needs the processed npy artifacts (zero-egress env).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from moegan_tpu.cli.generate_images import save_grid
+    from moegan_tpu.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        LossConfig,
+        TrainConfig,
+    )
+    from moegan_tpu.data.datasets import synthetic_dataset
+    from moegan_tpu.infer.sample import Sampler, expert_utilization_stats
+    from moegan_tpu.train.loop import train_aurora_gan
+    from moegan_tpu.utils.checkpoint import save_generator_params
+    from moegan_tpu.utils.metrics import MetricLogger
+
+    out_dir = os.path.join(repo, "runs", "demo")
+    os.makedirs(out_dir, exist_ok=True)
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    cfg = TrainConfig(
+        generator=GeneratorConfig(
+            max_resolution=16, channels={4: 512, 8: 256, 16: 128}
+        ),
+        discriminator=DiscriminatorConfig(max_resolution=16),
+        loss=LossConfig(clip_weights={16: 0.1, 8: 0.05}),
+        num_epochs=epochs,
+        batch_size=64,
+        lr=6.716e-4,  # pinned HPO-best hyperparameters (BASELINE.md)
+        beta1=0.8821,
+        beta2=0.9386,
+        log_interval=4,
+    )
+    ds = synthetic_dataset(512, 16, seed=0)
+    val = synthetic_dataset(128, 16, seed=1)
+
+    logger = MetricLogger(os.path.join(out_dir, "metrics.jsonl"))
+    state = train_aurora_gan(
+        ds, val, cfg=cfg, save_dir=os.path.join(out_dir, "ckpt"), logger=logger
+    )
+    save_generator_params(os.path.join(out_dir, "aurora_model_final.msgpack"), state.g_params)
+
+    sampler = Sampler(cfg.generator, state.g_params)
+    images, stats = sampler(ds.text_embeddings[:16], num_samples=16,
+                            truncation_psi=0.7, return_stats=True)
+    save_grid(np.asarray(images), os.path.join(out_dir, "samples.png"))
+    with open(os.path.join(out_dir, "expert_utilization.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(f"demo artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
