@@ -495,9 +495,20 @@ def _fused_bwd(hard, block_t, res, g):
     x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
     dout, dprobs = g
     bt = min(block_t, x.shape[0])
-    if not hard and _pallas_supported(x, bt):
+    # Measured on v5e (round 1): the Pallas backward's triple z/h
+    # recompute costs more than the HBM it saves on this model's shapes
+    # (523 vs 557 imgs/sec/chip on the 64x64 step), so the XLA-recompute
+    # backward is the default; the kernels stay available for larger
+    # expert dims where the [E,T,4C] materialization dominates.
+    import os
+
+    if (
+        not hard
+        and _pallas_supported(x, bt)
+        and os.environ.get("MOEGAN_PALLAS_MOE_BWD", "0") == "1"
+    ):
         return _fused_moe_bwd_pallas(res, dout, dprobs, bt)
-    # Fallback: recompute through the identical XLA formulation.
+    # Default: recompute through the identical XLA formulation.
     _, vjp = jax.vjp(
         lambda *a: moe_ffn_reference(*a, hard), x, fw, cw_f, text_logits,
         inv_temp, w1, b1, w2, b2,

@@ -186,8 +186,11 @@ def test_fused_gradients_flow_via_pallas_bwd(moes):
         kw["interpret"] = True
         return real_call(*a, **kw)
 
+    import os
+
     with mock.patch.object(fm.pl, "pallas_call", interp_call), \
-         mock.patch.object(fm, "_pallas_supported", lambda x, bt: x.shape[0] % bt == 0):
+         mock.patch.object(fm, "_pallas_supported", lambda x, bt: x.shape[0] % bt == 0), \
+         mock.patch.dict(os.environ, {"MOEGAN_PALLAS_MOE_BWD": "1"}):
         g1 = jax.grad(loss)(params)
     g2 = jax.grad(loss)(params)  # CPU fallback (XLA recompute) path
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
