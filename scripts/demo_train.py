@@ -17,9 +17,10 @@ import numpy as np
 
 
 def main():
-    import jax
-
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    import jax
     cache = os.path.join(repo, ".jax_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
