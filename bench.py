@@ -124,7 +124,9 @@ def main():
                 def body(carry, i):
                     st = carry
                     st, m = raw_step(st, batch, jax.random.fold_in(rng, i), schedule, clip_params)
-                    return st, m["d_loss"]
+                    # g_total keeps the (stop-gradient) CLIP branch alive —
+                    # probing d_loss alone lets XLA DCE the CLIP forwards.
+                    return st, m["d_loss"] + m["g_total"]
 
                 st, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
                 # fold the final params into the scalar so nothing is dead

@@ -20,7 +20,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-from functools import partial
 
 import flax.linen as nn
 import jax

@@ -28,7 +28,6 @@ capabilities TPU-natively:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import flax.linen as nn

@@ -10,7 +10,6 @@ generation (:192-243). Rebuilt as jitted JAX with the same topology.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import flax.linen as nn

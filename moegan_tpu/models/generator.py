@@ -18,7 +18,7 @@ noise and router weight sampling (rngs={'router': key}).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

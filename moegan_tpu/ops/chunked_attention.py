@@ -8,7 +8,6 @@ block probabilities during the backward pass.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

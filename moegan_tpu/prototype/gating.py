@@ -15,7 +15,6 @@ autograd calls.
 
 from __future__ import annotations
 
-from functools import partial
 
 import flax.linen as nn
 import jax

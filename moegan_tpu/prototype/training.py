@@ -10,7 +10,6 @@ KL-to-uniform balance loss :185-208, supervised training CE + 1e-5*KL +
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

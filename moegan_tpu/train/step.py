@@ -16,14 +16,11 @@ torch.randn, :296-298/:1266/:1303).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from moegan_tpu.config import TrainConfig
-from moegan_tpu.losses import clip_loss as _clip_loss_mod
 from moegan_tpu.losses.clip_loss import clip_loss
 from moegan_tpu.losses.gan import (
     discriminator_loss,
