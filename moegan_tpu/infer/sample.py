@@ -81,11 +81,10 @@ def expert_utilization_stats(routing) -> dict:
     out = {}
     for i, probs in enumerate(routing):
         p = np.asarray(probs, np.float32).reshape(-1, probs.shape[-1])
+        counts = np.bincount(p.argmax(-1), minlength=p.shape[-1])
         out[f"block_{i}"] = {
             "mean_prob": p.mean(0).tolist(),
-            "top1_fraction": np.bincount(
-                p.argmax(-1), minlength=p.shape[-1]
-            ).astype(np.float64).__truediv__(len(p)).tolist(),
+            "top1_fraction": (counts / len(p)).tolist(),
         }
     return out
 
