@@ -148,6 +148,8 @@ class DiscriminatorConfig(_JsonMixin):
 class LossConfig(_JsonMixin):
     """Loss weights and schedules (train_aurora_gan defaults :1029-1046)."""
 
+    # "nonsaturating" (reference) or "hinge" (BASELINE config 3 regime).
+    gan_loss: str = "nonsaturating"
     r1_gamma: float = 10.0
     kl_weight: float = 1e-3
     kl_annealing_epochs: int = 5

@@ -11,15 +11,31 @@ import jax
 import jax.numpy as jnp
 
 
-def generator_loss(fake_pred: jax.Array) -> jax.Array:
-    """Non-saturating G loss: softplus(-D(fake)).mean() (ref :917-924)."""
+def generator_loss(fake_pred: jax.Array, kind: str = "nonsaturating") -> jax.Array:
+    """G adversarial loss.
+
+    "nonsaturating": softplus(-D(fake)).mean() (ref :917-924, the default).
+    "hinge": -D(fake).mean() (BASELINE.json config 3 regime).
+    """
+    if kind == "hinge":
+        return -jnp.mean(fake_pred)
     return jnp.mean(jax.nn.softplus(-fake_pred))
 
 
 def discriminator_loss(
-    real_pred: jax.Array, fake_pred: jax.Array, mismatched_pred: jax.Array
+    real_pred: jax.Array,
+    fake_pred: jax.Array,
+    mismatched_pred: jax.Array,
+    kind: str = "nonsaturating",
 ) -> jax.Array:
-    """Matching-aware logistic D loss (ref :940-949)."""
+    """Matching-aware D loss (ref :940-949); hinge variant keeps the
+    mismatched-text term with the same fake-side margin."""
+    if kind == "hinge":
+        return (
+            jnp.mean(jax.nn.relu(1.0 - real_pred))
+            + jnp.mean(jax.nn.relu(1.0 + fake_pred))
+            + jnp.mean(jax.nn.relu(1.0 + mismatched_pred))
+        )
     return (
         jnp.mean(jax.nn.softplus(-real_pred))
         + jnp.mean(jax.nn.softplus(fake_pred))

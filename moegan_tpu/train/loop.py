@@ -38,6 +38,7 @@ def train_aurora_gan(
     resume: bool = False,
     distributed: bool = True,
     logger: Optional[MetricLogger] = None,
+    transfer_from=None,
 ) -> TrainState:
     """Train the Aurora MoE-GAN; returns the final TrainState.
 
@@ -55,14 +56,25 @@ def train_aurora_gan(
         mesh, state, step_fn = setup_distributed_training(
             cfg, key, steps_per_epoch=steps_per_epoch, with_clip=clip_params is not None
         )
-        data_sharding = None  # sharded inside step_fn wrapper
     else:
         mesh = None
         state = create_train_state(cfg, key)
         step_fn, _ = make_train_step(
             cfg, steps_per_epoch, with_clip=clip_params is not None
         )
-        data_sharding = None
+    if transfer_from is not None:
+        # Progressive training: graft matching generator params from the
+        # previous (lower-resolution) stage, preserving this stage's
+        # shardings by placing each transferred leaf like its skeleton.
+        from moegan_tpu.train.progressive import transfer_params
+
+        grafted, copied = transfer_params(transfer_from, state.g_params)
+        grafted = jax.tree_util.tree_map(
+            lambda new, skel: jax.device_put(jnp.asarray(new), skel.sharding),
+            grafted, state.g_params,
+        )
+        state = state.replace(g_params=grafted)
+        log.log_line(f"transferred {copied} generator tensors from the previous stage")
 
     eval_fn = make_eval_step(cfg, with_clip=clip_params is not None)
 

@@ -87,7 +87,7 @@ def make_train_step(
             fake_pred = disc.apply({"params": d_params}, fake, text)
             mism_pred = disc.apply({"params": d_params}, real, mismatched_text)
 
-            d_gan = discriminator_loss(real_pred, fake_pred, mism_pred)
+            d_gan = discriminator_loss(real_pred, fake_pred, mism_pred, lcfg.gan_loss)
             return d_gan + r1, (d_gan, r1)
 
         (d_total, (d_gan, r1)), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -109,7 +109,7 @@ def make_train_step(
             kl = jnp.minimum(out.kl, lcfg.kl_clamp)  # ref :1369-1370
 
             fake_pred_g = disc.apply({"params": d_params}, out.image, text)
-            g_gan = generator_loss(fake_pred_g)
+            g_gan = generator_loss(fake_pred_g, lcfg.gan_loss)
 
             clip_metrics = {}
             g_clip = jnp.zeros((), jnp.float32)
@@ -186,9 +186,10 @@ def make_eval_step(cfg: TrainConfig, with_clip: bool = True):
         mism_pred = disc.apply({"params": state.d_params}, real, text[perm])
 
         metrics = {
-            "val_d_loss": discriminator_loss(real_pred, fake_pred, mism_pred),
+            "val_d_loss": discriminator_loss(real_pred, fake_pred, mism_pred, lcfg.gan_loss),
             # ref :1577-1579: val G loss includes the annealed KL term.
-            "val_g_loss": generator_loss(fake_pred) + eff_kl_w * jnp.minimum(out.kl, lcfg.kl_clamp),
+            "val_g_loss": generator_loss(fake_pred, lcfg.gan_loss)
+            + eff_kl_w * jnp.minimum(out.kl, lcfg.kl_clamp),
         }
         if with_clip and clip_params is not None:
             for r in sorted(out.intermediates):
