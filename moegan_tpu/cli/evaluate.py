@@ -19,6 +19,10 @@ def main(argv=None):
     ap.add_argument("--truncation_psi", type=float, default=1.0)
     ap.add_argument("--save_reference_stats", type=str, default="",
                     help="also write reference_stats.npz from the real images")
+    ap.add_argument("--feature_source", type=str, default="inception",
+                    choices=("inception", "clip"),
+                    help="FID feature space: InceptionV3 pool-2048 (reference "
+                         "parity) or CLIP-FID")
     args = ap.parse_args(argv)
 
     from moegan_tpu.config import GeneratorConfig
@@ -42,16 +46,25 @@ def main(argv=None):
     res = evaluate_fid_clipscore(
         g_params, ds, clip_params, cfg=cfg,
         num_samples=args.num_samples, batch_size=args.batch_size,
-        truncation_psi=args.truncation_psi,
+        truncation_psi=args.truncation_psi, feature_source=args.feature_source,
     )
     for name in ("fid", "clip_score"):
         if res.get(name) is not None:
             print(f"[METRIC] {name}: {res[name]:.6f}")
 
     if args.save_reference_stats:
-        from moegan_tpu.infer.fid import FIDEvaluator, clip_feature_extractor
+        from moegan_tpu.infer.fid import (
+            FIDEvaluator,
+            clip_feature_extractor,
+            inception_feature_extractor,
+        )
 
-        ev = FIDEvaluator(clip_feature_extractor(clip_params))
+        extractor = (
+            inception_feature_extractor()
+            if args.feature_source == "inception"
+            else clip_feature_extractor(clip_params)
+        )
+        ev = FIDEvaluator(extractor)
         ev.set_reference_images(ds.images[: args.num_samples])
         ev.save_reference_stats(args.save_reference_stats)
         print(f"wrote {args.save_reference_stats}")

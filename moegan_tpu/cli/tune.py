@@ -19,7 +19,15 @@ def main(argv=None):
     ap.add_argument("--config", type=str, required=True,
                     help="search-space JSON (reference schema)")
     ap.add_argument("--max_jobs", type=int, default=10)   # ref :81
+    ap.add_argument("--max_parallel_jobs", type=int, default=2)  # ref :82
     ap.add_argument("--warmup_jobs", type=int, default=4)
+    ap.add_argument("--strategy", type=str, default="tpe", choices=("tpe", "perturb"))
+    ap.add_argument("--trial_mode", type=str, default="in-process",
+                    choices=("in-process", "subprocess"),
+                    help="subprocess runs each trial via the JobRunner "
+                         "(MaxParallelTrainingJobs semantics, isolated "
+                         "processes); in-process threads trials through "
+                         "one JAX runtime")
     ap.add_argument("--out_dir", type=str, default="./hpo_results")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--data_dir", type=str, default="")
@@ -30,7 +38,12 @@ def main(argv=None):
     from moegan_tpu.cli.train_model import build_parser, config_from_args
     from moegan_tpu.config import coerce_hyperparameters
     from moegan_tpu.data.datasets import ProcessedMSCOCODataset, synthetic_dataset
-    from moegan_tpu.hpo.search import SearchSpace, describe_best, run_hpo
+    from moegan_tpu.hpo.search import (
+        SearchSpace,
+        describe_best,
+        run_hpo,
+        trial_timeline,
+    )
     from moegan_tpu.orchestration.pipeline import publish_model_metrics
     from moegan_tpu.train.loop import train_aurora_gan
 
@@ -47,7 +60,7 @@ def main(argv=None):
 
     clip_params = load_clip_params()
 
-    def train_fn(params: dict, report) -> dict:
+    def train_in_process(params: dict, report) -> dict:
         hp = coerce_hyperparameters({k: str(v) for k, v in params.items()})
         cli = build_parser().parse_args([])
         cli.max_resolution = args.max_resolution
@@ -67,15 +80,58 @@ def main(argv=None):
                          metric_callback=cb, distributed=True)
         return final
 
-    best, trials = run_hpo(
-        space, train_fn, max_jobs=args.max_jobs,
-        warmup_jobs=args.warmup_jobs, seed=args.seed,
-    )
+    def make_subprocess_train_fn():
+        """Each trial = one JobRunner subprocess (isolated process per
+        trial, the SageMaker training-job analog); the [METRIC] stdout of
+        the job feeds the early-stop reporter, and a False return stops
+        the job (StopTrainingJob semantics)."""
+        import time as _time
+
+        from moegan_tpu.orchestration.jobs import JobRunner, python_job
+
+        runner = JobRunner(os.path.join(args.out_dir, "jobs"))
+
+        def train_fn(params: dict, report) -> dict:
+            hp = {k: str(v) for k, v in params.items()}
+            hp.setdefault("max_resolution", str(args.max_resolution))
+            env = {"MPLBACKEND": "Agg"}
+            if args.data_dir and not args.synthetic:
+                env["DATA_DIR"] = args.data_dir
+            rec = runner.submit(
+                python_job("hpo-trial", "moegan_tpu.cli.job_train",
+                           hyperparameters=hp, environment=env)
+            )
+            seen = 0
+            while runner.poll(rec.job_name).status == "InProgress":
+                vals = runner.metrics(rec.job_name, space.objective_name)
+                for epoch, v in enumerate(vals[seen:], start=seen):
+                    if not report(epoch, {space.objective_name: v}):
+                        runner.stop(rec.job_name)
+                        break
+                seen = len(vals)
+                _time.sleep(0.5)
+            vals = runner.metrics(rec.job_name, space.objective_name)
+            return {space.objective_name: vals[-1]} if vals else {}
+
+        return train_fn
 
     os.makedirs(args.out_dir, exist_ok=True)
+    train_fn = (
+        make_subprocess_train_fn() if args.trial_mode == "subprocess"
+        else train_in_process
+    )
+    best, trials = run_hpo(
+        space, train_fn, max_jobs=args.max_jobs,
+        max_parallel_jobs=args.max_parallel_jobs,
+        warmup_jobs=args.warmup_jobs, seed=args.seed,
+        strategy=args.strategy,
+    )
+
     info = describe_best(best)
     with open(os.path.join(args.out_dir, "best_hyperparameters.json"), "w") as f:
         json.dump(info, f, indent=2)
+    with open(os.path.join(args.out_dir, "trial_timeline.json"), "w") as f:
+        json.dump(trial_timeline(trials), f, indent=2)
     publish_model_metrics(
         {space.objective_name: best.objective},
         os.path.join(args.out_dir, "model_metrics.json"),

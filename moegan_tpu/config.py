@@ -171,6 +171,11 @@ class LossConfig(_JsonMixin):
     # True reproduces that; False lets gradients flow (the "fixed" mode).
     clip_stop_gradient: bool = True
     kl_clamp: float = 50.0  # per-step clamp, ref :1369-1370
+    # The reference balances only the LAST block's routing (:951-1000),
+    # which leaves expert collapse in earlier blocks unpenalized. True
+    # applies the CV balance loss to every block's routing (mean over
+    # blocks); False keeps reference parity.
+    balance_all_blocks: bool = False
 
 
 @dataclass(frozen=True)

@@ -152,15 +152,21 @@ class SparseMoE(nn.Module):
         w2 = constrain(self.w2.astype(cd), ("expert", None, None))
         b2 = constrain(self.b2.astype(cd), ("expert", None))
 
-        # [E, B, T, 4C]: E batched matmuls on the MXU.
-        h = jnp.einsum("btc,ecf->ebtf", xc, w1, preferred_element_type=jnp.float32)
-        h = h + b1[:, None, None, :].astype(jnp.float32)
+        # [E, B, T, 4C]: E batched matmuls on the MXU. The step is HBM-
+        # bandwidth-bound, so the big [E,B,T,4C] intermediate stays in the
+        # compute dtype (bf16) — the MXU still accumulates each matmul in
+        # fp32 internally; only the stored activation is half-width.
+        h = jnp.einsum("btc,ecf->ebtf", xc, w1)
+        h = h + b1[:, None, None, :]
         h = constrain(h, ("expert", None, None, None))
-        h = nn.gelu(h, approximate=False).astype(cd)
-        y = jnp.einsum("ebtf,efc->ebtc", h, w2, preferred_element_type=jnp.float32)
-        y = y + b2[:, None, None, :].astype(jnp.float32)
+        h = nn.gelu(h, approximate=False)
+        y = jnp.einsum("ebtf,efc->ebtc", h, w2)
+        y = y + b2[:, None, None, :]
         y = constrain(y, ("expert", None, None, None))
 
-        # Weighted combine; reduces over E (psum over 'expert' when sharded).
-        out = jnp.einsum("bte,ebtc->btc", probs.astype(jnp.float32), y)
+        # Weighted combine; reduces over E (psum over 'expert' when
+        # sharded). fp32 accumulation for the cross-expert reduction.
+        out = jnp.einsum(
+            "bte,ebtc->btc", probs.astype(cd), y, preferred_element_type=jnp.float32
+        )
         return out.astype(x.dtype)

@@ -87,6 +87,68 @@ class ProcessedMSCOCODataset:
             )
 
 
+@dataclass
+class EnhancedMSCOCODataset:
+    """Cluster-labeled dataset — the reference EnhancedMSCOCODataset
+    analog (moe/moe_integration.py:32-73): wraps a processed dataset with
+    per-sample KMeans expert pseudo-labels (+ optional cluster
+    descriptions) and serves (image, text_embedding, cluster_label)."""
+
+    base: ProcessedMSCOCODataset
+    cluster_labels: np.ndarray  # [N] int
+    cluster_descriptions: Optional[list] = None
+
+    def __post_init__(self):
+        if len(self.cluster_labels) != len(self.base):
+            raise ValueError(
+                f"{len(self.cluster_labels)} labels for {len(self.base)} samples"
+            )
+        self.cluster_labels = np.asarray(self.cluster_labels, np.int32)
+
+    @classmethod
+    def from_dataset(
+        cls,
+        base: ProcessedMSCOCODataset,
+        n_clusters: int = 5,
+        seed: int = 42,
+        clip_params=None,
+    ) -> "EnhancedMSCOCODataset":
+        """Cluster the text embeddings into pseudo-labels and (when CLIP
+        params are given) name the clusters (ref :75-183)."""
+        from moegan_tpu.prototype.training import (
+            analyze_clusters,
+            cluster_text_embeddings,
+        )
+
+        labels, _ = cluster_text_embeddings(base.text_embeddings, n_clusters, seed)
+        descriptions = analyze_clusters(
+            base.text_embeddings, labels, clip_params=clip_params, captions=base.captions
+        )
+        return cls(base, labels, descriptions)
+
+    @property
+    def images(self) -> np.ndarray:
+        return self.base.images
+
+    @property
+    def text_embeddings(self) -> np.ndarray:
+        return self.base.text_embeddings
+
+    @property
+    def captions(self):
+        return self.base.captions
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.cluster_labels.max()) + 1 if len(self.cluster_labels) else 0
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx):
+        return self.images[idx], self.text_embeddings[idx], self.cluster_labels[idx]
+
+
 def synthetic_dataset(
     n: int = 64, resolution: int = 16, seed: int = 0, text_dim: int = 512
 ) -> ProcessedMSCOCODataset:

@@ -1,5 +1,11 @@
 from moegan_tpu.infer.sample import sample_aurora_gan, Sampler
-from moegan_tpu.infer.fid import frechet_distance, gaussian_stats, FIDEvaluator
+from moegan_tpu.infer.fid import (
+    frechet_distance,
+    gaussian_stats,
+    FIDEvaluator,
+    clip_feature_extractor,
+    inception_feature_extractor,
+)
 
 __all__ = [
     "sample_aurora_gan",
@@ -7,4 +13,6 @@ __all__ = [
     "frechet_distance",
     "gaussian_stats",
     "FIDEvaluator",
+    "clip_feature_extractor",
+    "inception_feature_extractor",
 ]

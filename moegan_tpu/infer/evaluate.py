@@ -17,7 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from moegan_tpu.config import GeneratorConfig
-from moegan_tpu.infer.fid import clip_feature_extractor, frechet_distance, gaussian_stats
+from moegan_tpu.infer.fid import (
+    clip_feature_extractor,
+    frechet_distance,
+    gaussian_stats,
+    inception_feature_extractor,
+)
 from moegan_tpu.models.generator import AuroraGenerator
 
 
@@ -31,12 +36,17 @@ def evaluate_fid_clipscore(
     batch_size: int = 64,
     truncation_psi: float = 1.0,
     seed: int = 0,
+    feature_source: str = "inception",
+    inception_params=None,
 ) -> dict:
-    """Returns {'fid', 'clip_score', 'expert_utilization'}.
+    """Returns {'fid', 'clip_score', 'expert_utilization', ...}.
 
-    FID features come from the CLIP image tower (CLIP-FID when pretrained
-    weights are loaded); CLIPScore is cosine similarity x100 between
-    generated-image features and the conditioning text embeddings.
+    FID features come from the InceptionV3 pool-2048 tower by default
+    (the reference's feature space, inference.py:161-208; converted
+    weights via scripts/convert_inception.py) — feature_source="clip"
+    selects the CLIP-FID variant instead. CLIPScore is cosine similarity
+    x100 between CLIP image features and the conditioning text
+    embeddings, computed either way.
     """
     gen = AuroraGenerator(cfg)
     n = min(num_samples, len(dataset))
@@ -52,7 +62,15 @@ def evaluate_fid_clipscore(
         util = jnp.mean(out.routing[-1].reshape(-1, cfg.num_experts), axis=0)
         return jnp.clip(out.image, -1, 1), util
 
-    extract = clip_feature_extractor(clip_params, batch_size=min(batch_size, 32))
+    clip_extract = clip_feature_extractor(clip_params, batch_size=min(batch_size, 32))
+    if feature_source == "inception":
+        fid_extract = inception_feature_extractor(
+            inception_params, batch_size=min(batch_size, 32)
+        )
+    elif feature_source == "clip":
+        fid_extract = clip_extract
+    else:
+        raise ValueError(f"unknown feature_source {feature_source!r}")
     key = jax.random.PRNGKey(seed)
 
     fake_feats, real_feats, sims, utils_ = [], [], [], []
@@ -64,14 +82,16 @@ def evaluate_fid_clipscore(
         fake, util = gen_batch(g_params, z, text)
         utils_.append(np.asarray(util))
 
-        ff = extract(np.asarray(fake))
-        rf = extract(np.asarray(dataset.images[i : i + batch_size], np.float32))
-        fake_feats.append(ff)
-        real_feats.append(rf)
+        fake_np = np.asarray(fake)
+        real_np = np.asarray(dataset.images[i : i + batch_size], np.float32)
+        fake_feats.append(fid_extract(fake_np))
+        real_feats.append(fid_extract(real_np))
 
+        # CLIPScore: CLIP image features vs conditioning text embeddings.
+        cf = clip_extract(fake_np) if fid_extract is not clip_extract else fake_feats[-1]
         tn = np.asarray(text, np.float32)
-        if ff.shape[-1] == tn.shape[-1]:  # CLIP embedding space only
-            fn = ff / (np.linalg.norm(ff, axis=-1, keepdims=True) + 1e-8)
+        if cf.shape[-1] == tn.shape[-1]:  # CLIP embedding space only
+            fn = cf / (np.linalg.norm(cf, axis=-1, keepdims=True) + 1e-8)
             tn = tn / (np.linalg.norm(tn, axis=-1, keepdims=True) + 1e-8)
             sims.append(np.clip((fn * tn).sum(-1), 0, None))
 
@@ -81,6 +101,7 @@ def evaluate_fid_clipscore(
     mu_r, sig_r = gaussian_stats(real_feats)
     return {
         "fid": frechet_distance(mu_f, sig_f, mu_r, sig_r),
+        "fid_feature_source": feature_source,
         "clip_score": float(100.0 * np.concatenate(sims).mean()) if sims else None,
         "num_samples": n,
         "expert_utilization": np.mean(utils_, axis=0).tolist(),

@@ -6,11 +6,14 @@ fits Gaussians, and computes the Frechet distance with scipy sqrtm; when
 `reference_stats.npz` is missing it falls back to mu=0, Sigma=I (:230-240)
 — both behaviors reproduced. Feature extraction is pluggable:
 
-- "clip": the JAX CLIP image tower (512-d) — TPU-native, default here
-  (torchvision isn't in this image; with pretrained weights this is the
-  well-known CLIP-FID variant).
-- "inception": torchvision InceptionV3 pool features when importable
-  (bit-parity with pytorch-fid).
+- inception_feature_extractor (default): the JAX InceptionV3 pool-2048
+  tower (models/inception_jax.py) — the reference's feature space
+  (inference.py:161-208). With converted IMAGENET1K_V1 weights
+  (scripts/convert_inception.py) this matches the reference numerics;
+  without weights on disk it runs deterministic random-init features
+  (protocol-only, clearly not semantic).
+- clip_feature_extractor: the JAX CLIP image tower (512-d) — the
+  well-known CLIP-FID variant, kept as a labeled alternative.
 - any callable images[-1,1] NHWC -> [N, D] features.
 """
 
@@ -57,16 +60,10 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 
 
-def clip_feature_extractor(clip_params, batch_size: int = 8) -> Callable:
-    """JAX CLIP image tower as the feature source (jitted, batched)."""
-    import jax
+def _batched_extractor(feats_fn: Callable, batch_size: int) -> Callable:
+    """Wrap a jitted [B,...] -> [B,D] feature fn into a padded, batched
+    numpy extractor with ONE compiled shape (ref batches of 8, :190-197)."""
     import jax.numpy as jnp
-
-    from moegan_tpu.models import clip_jax
-
-    @jax.jit
-    def feats(images):
-        return clip_jax.image_features(clip_params, images)
 
     def extract(images_m11: np.ndarray) -> np.ndarray:
         out = []
@@ -76,24 +73,65 @@ def clip_feature_extractor(clip_params, batch_size: int = 8) -> Callable:
             chunk = np.asarray(images_m11[i : i + bs], np.float32)
             if len(chunk) < bs:  # pad to keep one compiled shape
                 pad = np.zeros((bs - len(chunk), *chunk.shape[1:]), np.float32)
-                res = np.asarray(feats(jnp.asarray(np.concatenate([chunk, pad]))))[: len(chunk)]
+                res = np.asarray(feats_fn(jnp.asarray(np.concatenate([chunk, pad]))))[: len(chunk)]
             else:
-                res = np.asarray(feats(jnp.asarray(chunk)))
+                res = np.asarray(feats_fn(jnp.asarray(chunk)))
             out.append(res)
         return np.concatenate(out, axis=0)
 
     return extract
 
 
+def clip_feature_extractor(clip_params, batch_size: int = 8) -> Callable:
+    """JAX CLIP image tower as the feature source (CLIP-FID variant)."""
+    import jax
+
+    from moegan_tpu.models import clip_jax
+
+    @jax.jit
+    def feats(images):
+        return clip_jax.image_features(clip_params, images)
+
+    return _batched_extractor(feats, batch_size)
+
+
+def inception_feature_extractor(
+    inception_params=None,
+    batch_size: int = 8,
+    variant: str = "torchvision",
+) -> Callable:
+    """JAX InceptionV3 pool-2048 features — the reference's FID feature
+    space (inference.py:161-208). Loads converted weights from
+    INCEPTION_WEIGHTS_PATH when params aren't passed (random init
+    fallback keeps the protocol runnable without weights)."""
+    import jax
+
+    from moegan_tpu.models import inception_jax
+
+    if inception_params is None:
+        inception_params = inception_jax.load_inception_params()
+
+    @jax.jit
+    def feats(images):
+        return inception_jax.features(inception_params, images, variant=variant)
+
+    return _batched_extractor(feats, batch_size)
+
+
 class FIDEvaluator:
-    """End-to-end FID with reference-stats file + identity fallback."""
+    """End-to-end FID with reference-stats file + identity fallback.
+
+    Default extractor is the InceptionV3 pool-2048 tower (reference
+    feature space + 2048-d mu=0/Sigma=I fallback, inference.py:230-240)."""
 
     def __init__(
         self,
         extractor: Union[Callable, None] = None,
         reference_stats_path: Optional[str] = None,
-        feature_dim: int = 512,
+        feature_dim: int = 2048,
     ):
+        if extractor is None:
+            extractor = inception_feature_extractor()
         self.extractor = extractor
         self.feature_dim = feature_dim
         self.ref_mu: Optional[np.ndarray] = None

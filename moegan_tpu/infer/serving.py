@@ -32,7 +32,7 @@ from typing import Optional
 import numpy as np
 
 from moegan_tpu.config import GeneratorConfig
-from moegan_tpu.infer.fid import FIDEvaluator, clip_feature_extractor
+from moegan_tpu.infer.fid import FIDEvaluator
 from moegan_tpu.infer.sample import Sampler
 
 MAX_NUM_SAMPLES = 4  # ref inference.py:283 caps at 4
@@ -91,10 +91,8 @@ class InferenceHandler:
 
             clip_params = load_clip_params()
         sampler = Sampler(cfg, g_params, clip_params)
-        fid = FIDEvaluator(
-            clip_feature_extractor(clip_params),
-            reference_stats_path="reference_stats.npz",
-        )
+        # Default extractor = InceptionV3 pool-2048 (reference parity).
+        fid = FIDEvaluator(reference_stats_path="reference_stats.npz")
         return cls(sampler, fid)
 
     def transform_fn(self, request: dict) -> dict:
@@ -178,9 +176,19 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8080,
 ) -> ThreadingHTTPServer:
-    """HTTP server with the reference's public API shape."""
+    """HTTP server with the reference's public API shape.
+
+    The job store is swept on every job submission AND by a background
+    timer (DynamoDB-TTL analog, cloudformation.yaml:85-90), so abandoned
+    request_ids can't grow the store unboundedly under a poll storm.
+    """
     store = JobStore()
     model_metrics = metrics or {}
+    stop_sweeper = threading.Event()
+
+    def sweeper():
+        while not stop_sweeper.wait(min(store.ttl / 4, 60.0)):
+            store.sweep()
 
     def run_job(request_id: str, payload: dict):
         try:
@@ -216,6 +224,7 @@ def make_server(
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError:
                 return self._send(400, {"error": "invalid JSON body"})
+            store.sweep()  # expire abandoned jobs on every submission
             if self.path == "/generate":
                 if not payload.get("text"):
                     return self._send(400, {"error": "missing 'text'"})
@@ -253,6 +262,16 @@ def make_server(
             return self._send(404, {"error": f"unknown path {url.path}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=sweeper, daemon=True).start()
+    server.stop_sweeper = stop_sweeper  # set on shutdown to stop the timer
+    _orig_shutdown = server.shutdown
+
+    def shutdown():
+        stop_sweeper.set()
+        _orig_shutdown()
+
+    server.shutdown = shutdown
+    server.job_store = store  # exposed for tests / ops introspection
     return server
 
 

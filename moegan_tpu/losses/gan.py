@@ -56,29 +56,43 @@ def r1_penalty(d_apply, real_images: jax.Array, r1_gamma: float) -> jax.Array:
     return (r1_gamma / 2.0) * jnp.mean(penalty)
 
 
-def moe_balance_loss(routing_probs, balance_weight: float = 0.01) -> jax.Array:
-    """Coefficient-of-variation load-balance loss on the LAST block's
-    routing probabilities (ref :951-1000, Switch-Transformer style).
-
-    routing_probs: sequence of [B, T, E] (or [N, E]) arrays; uses the last.
-    Matches the reference numerics: unbiased std (torch.std default),
-    clamp to [0, 10], scale by num_experts then balance_weight.
-    """
-    if not routing_probs:
-        return jnp.zeros((), jnp.float32)
-    last = routing_probs[-1].astype(jnp.float32)
-    last = last.reshape(-1, last.shape[-1])  # [N, E]
+def _cv_balance(probs: jax.Array) -> jax.Array:
+    """Coefficient-of-variation load balance of one block's routing [.., E]
+    (ref :951-1000, Switch-Transformer style). Matches the reference
+    numerics: unbiased std (torch.std default), clamp to [0, 10], scale by
+    num_experts."""
+    p = probs.astype(jnp.float32)
+    p = p.reshape(-1, p.shape[-1])  # [N, E]
     eps = 1e-6
-    n_items = last.shape[0]
-    num_experts = last.shape[-1]
+    n_items = p.shape[0]
+    num_experts = p.shape[-1]
 
-    load = jnp.sum(last, axis=0) + eps
+    load = jnp.sum(p, axis=0) + eps
     fraction_routed = load / n_items
     mean_usage = jnp.mean(fraction_routed)
     std_usage = jnp.std(fraction_routed, ddof=1)
     cv = std_usage / (mean_usage + eps)
     balance = jnp.clip(num_experts * cv, 0.0, 10.0)
-    balance = jnp.nan_to_num(balance, nan=0.0)
+    return jnp.nan_to_num(balance, nan=0.0)
+
+
+def moe_balance_loss(
+    routing_probs, balance_weight: float = 0.01, all_blocks: bool = False
+) -> jax.Array:
+    """CV load-balance loss over routing probabilities.
+
+    routing_probs: sequence of [B, T, E] (or [N, E]) arrays. Reference
+    parity (all_blocks=False) penalizes only the LAST block's routing
+    (ref :951-1000); all_blocks=True averages the CV term over every block
+    so collapse in earlier blocks is also penalized (round-1 demo showed
+    block_1 collapsing to 2/4 experts under last-block-only balancing).
+    """
+    if not routing_probs:
+        return jnp.zeros((), jnp.float32)
+    if all_blocks:
+        balance = jnp.mean(jnp.stack([_cv_balance(p) for p in routing_probs]))
+    else:
+        balance = _cv_balance(routing_probs[-1])
     return balance_weight * balance
 
 
@@ -99,3 +113,14 @@ def expert_utilization(routing_probs) -> jax.Array:
     signal the reference plots in moe/moe_testing.py:127-177."""
     last = routing_probs[-1].astype(jnp.float32)
     return jnp.mean(last.reshape(-1, last.shape[-1]), axis=0)
+
+
+def expert_utilization_per_block(routing_probs) -> jax.Array:
+    """[num_blocks, E] per-expert mean routing mass for EVERY block, so
+    collapse anywhere in the ladder is visible in training logs."""
+    return jnp.stack(
+        [
+            jnp.mean(p.astype(jnp.float32).reshape(-1, p.shape[-1]), axis=0)
+            for p in routing_probs
+        ]
+    )

@@ -180,17 +180,28 @@ def preprocess_for_clip(images_m11: jax.Array) -> jax.Array:
 
 
 def tokenize(texts, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
-    """Byte-level fallback tokenizer (deterministic stand-in for CLIP BPE).
+    """Prompt(s) -> [N, 77] CLIP token ids (contract of clip.tokenize,
+    ref t2i_moe_gan.py:49-64).
 
-    Maps utf-8 bytes into the BPE id space with BOS=49406 / EOS=49407
-    framing and 77-token truncation — the same contract as clip.tokenize.
-    With pretrained weights + the real BPE table this function should be
-    swapped via transformers' CLIPTokenizer (used automatically if the
-    vocab is available locally).
+    Resolution order:
+    1. the vendored dependency-free BPE (models/bpe.py) whenever a merges
+       file is on disk (CLIP_BPE_PATH / bpe_simple_vocab_16e6.txt[.gz]) —
+       exact OpenAI CLIP ids;
+    2. transformers' CLIPTokenizer if its vocab is cached locally;
+    3. a deterministic byte-level fallback into the same id space with
+       BOS=49406 / EOS=49407 framing (keeps prompt->image paths runnable
+       and testable without any vocab on disk).
     """
     if isinstance(texts, str):
         texts = [texts]
-    try:  # real tokenizer if its vocab files exist locally
+
+    from moegan_tpu.models.bpe import default_tokenizer
+
+    bpe = default_tokenizer()
+    if bpe is not None and bpe.vocab_size == VOCAB_SIZE:
+        return bpe.tokenize(list(texts), context_length)
+
+    try:  # transformers tokenizer if its vocab files exist locally
         from transformers import CLIPTokenizer
 
         tok = CLIPTokenizer.from_pretrained(

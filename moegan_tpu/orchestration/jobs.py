@@ -109,6 +109,22 @@ class JobRunner:
             time.sleep(poll_seconds)
         return rec
 
+    def stop(self, job_name: str) -> JobRecord:
+        """Terminate a running job (StopTrainingJob analog; also how HPO
+        early-stopping ends a trailing trial)."""
+        rec, proc = self._jobs[job_name]
+        if rec.status == "InProgress" and proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            rec.status = "Stopped"
+            rec.exit_code = proc.returncode
+            rec.ended_at = time.time()
+        return rec
+
     def metrics(self, job_name: str, metric_name: str) -> list[float]:
         """Scrape [METRIC] lines from the job's stdout (HPO contract)."""
         rec, _ = self._jobs[job_name]

@@ -19,11 +19,16 @@ from moegan_tpu.train.step import make_train_step
 
 
 def shard_batch(batch, mesh, data_axis: str = "data"):
-    """Place a host batch onto the mesh, leading axis over 'data'."""
+    """Place a host batch onto the mesh, leading axis over 'data'.
+
+    Already-placed arrays (e.g. from the sharded prefetcher) pass through
+    untouched, so the hot path does exactly one device_put per batch.
+    """
     def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
-        )
+        sharding = NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -120,8 +120,8 @@ def balance_loss_uniform(probs: jax.Array) -> jax.Array:
 
 
 def train_moe_with_clusters(
-    text_embeddings: np.ndarray,
-    cluster_labels: np.ndarray,
+    text_embeddings,
+    cluster_labels: Optional[np.ndarray] = None,
     *,
     hidden_dim: int = 256,
     num_experts: Optional[int] = None,
@@ -135,9 +135,17 @@ def train_moe_with_clusters(
 ):
     """Supervised router training against cluster labels.
 
-    Returns (gating, params, history) where history has per-epoch train
-    loss and val accuracy (the reference's quality gate, :341-344).
+    Accepts either (text_embeddings, cluster_labels) arrays or a single
+    EnhancedMSCOCODataset (the cluster-labeled container, reference
+    moe_integration.py:32-73). Returns (gating, params, history) where
+    history has per-epoch train loss and val accuracy (the reference's
+    quality gate, :341-344).
     """
+    if cluster_labels is None and hasattr(text_embeddings, "cluster_labels"):
+        ds = text_embeddings
+        text_embeddings, cluster_labels = ds.text_embeddings, ds.cluster_labels
+    if cluster_labels is None:
+        raise ValueError("need cluster_labels or an EnhancedMSCOCODataset")
     emb = np.asarray(text_embeddings, np.float32)
     labels = np.asarray(cluster_labels, np.int32)
     num_experts = num_experts or int(labels.max()) + 1

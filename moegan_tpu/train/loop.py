@@ -21,6 +21,7 @@ from moegan_tpu.config import TrainConfig
 from moegan_tpu.data.loader import BatchLoader, prefetch_to_device
 from moegan_tpu.losses.gan import kl_annealing_factor, temperature_factor
 from moegan_tpu.parallel.api import setup_distributed_training, shard_batch
+from moegan_tpu.parallel.sharding import batch_sharding
 from moegan_tpu.train.state import TrainState, count_params, create_train_state
 from moegan_tpu.train.step import make_eval_step, make_train_step
 from moegan_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
@@ -111,10 +112,21 @@ def train_aurora_gan(
 
         t_epoch = time.time()
         n_imgs = 0
-        batches = prefetch_to_device(loader.epoch(epoch), size=2)
+        # Sharded prefetch: the batch lands on the mesh with its final
+        # sharding in ONE device_put (shard_batch in the step is then a
+        # no-op on already-placed arrays).
+        batches = prefetch_to_device(
+            loader.epoch(epoch),
+            size=2,
+            sharding=batch_sharding(mesh, data_axis=cfg.mesh.data_axis)
+            if mesh is not None
+            else None,
+        )
+        last_metrics = None
         for batch in batches:
             step_rng = jax.random.fold_in(key, step)
             state, metrics = step_fn(state, batch, step_rng, schedule, clip_params)
+            last_metrics = metrics
             n_imgs += cfg.batch_size
             step += 1
             mem.step(step)
@@ -131,6 +143,10 @@ def train_aurora_gan(
 
         dt = time.time() - t_epoch
         log.log_metric("train_imgs_per_sec", n_imgs / max(dt, 1e-9), step)
+        if last_metrics is not None and "expert_util" in last_metrics:
+            # Per-block expert utilization [num_blocks, E] — the collapse
+            # signal the scalar log filter used to drop silently.
+            log.log_vector("expert_util_per_block", last_metrics["expert_util"], step)
 
         # ===== validation (ref :1518-1629) =====
         if val_dataset is not None and len(val_dataset) >= cfg.batch_size:
@@ -142,7 +158,9 @@ def train_aurora_gan(
             for i, vbatch in enumerate(vloader.epoch(0)):
                 if mesh is not None:
                     vbatch = shard_batch(vbatch, mesh, cfg.mesh.data_axis)
-                vm = eval_fn(state, vbatch, jax.random.fold_in(key, 10_000 + i), schedule, clip_params)
+                # Eval stream folds indices from the top of the uint32 fold
+                # space, disjoint from the train-step stream (step >= 0).
+                vm = eval_fn(state, vbatch, jax.random.fold_in(key, 0xFFFF_FFFF - i), schedule, clip_params)
                 bs = cfg.batch_size
                 n_val += bs
                 for k, v in vm.items():

@@ -26,7 +26,7 @@ from moegan_tpu.utils.metrics import MetricLogger
 FULL_CHANNELS = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
 
 
-def transfer_params(old: dict, new: dict) -> dict:
+def transfer_params(old: dict, new: dict) -> tuple[dict, int]:
     """Copy every leaf from ``old`` into ``new`` where path+shape match."""
     import flax.traverse_util as tu
 

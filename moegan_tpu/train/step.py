@@ -24,7 +24,7 @@ from moegan_tpu.config import TrainConfig
 from moegan_tpu.losses.clip_loss import clip_loss
 from moegan_tpu.losses.gan import (
     discriminator_loss,
-    expert_utilization,
+    expert_utilization_per_block,
     generator_loss,
     moe_balance_loss,
 )
@@ -125,13 +125,15 @@ def make_train_step(
                         clip_metrics[f"clip_loss_{r}"] = cl
                         g_clip = g_clip + weight * cl
 
-            balance = moe_balance_loss(out.routing, lcfg.balance_weight)
+            balance = moe_balance_loss(
+                out.routing, lcfg.balance_weight, all_blocks=lcfg.balance_all_blocks
+            )
             total = g_gan + g_clip + balance + eff_kl_w * kl
             aux = dict(
                 g_loss=g_gan,
                 kl_loss=kl,
                 balance_loss=balance,
-                expert_util=expert_utilization(out.routing),
+                expert_util=expert_utilization_per_block(out.routing),
                 **clip_metrics,
             )
             return total, aux

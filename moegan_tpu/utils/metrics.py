@@ -60,6 +60,22 @@ class MetricLogger:
         for k, v in metrics.items():
             self.log_metric(k, v, step)
 
+    def log_vector(self, name: str, values, step: int | None = None):
+        """Vector-valued observability signal (e.g. per-block expert
+        utilization) -> jsonl + a readable stderr line. Not a [METRIC]
+        line: the HPO regex only parses scalars."""
+        vals = [
+            [round(float(x), 6) for x in row] if hasattr(row, "__len__") else round(float(row), 6)
+            for row in values
+        ]
+        self.log_line(f"{name}: {vals}")
+        if self._fh:
+            rec = {"ts": time.time(), "name": name, "value": vals}
+            if step is not None:
+                rec["step"] = step
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+
     def log_line(self, msg: str):
         logger.info(msg)
         print(msg, file=sys.stderr, flush=True)

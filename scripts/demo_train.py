@@ -48,7 +48,10 @@ def main():
             max_resolution=16, channels={4: 512, 8: 256, 16: 128}
         ),
         discriminator=DiscriminatorConfig(max_resolution=16),
-        loss=LossConfig(clip_weights={16: 0.1, 8: 0.05}),
+        # balance_all_blocks: round-1 demo showed block_1 collapsing to 2/4
+        # experts under reference last-block-only balancing; per-block CV
+        # balance keeps every block's experts alive.
+        loss=LossConfig(clip_weights={16: 0.1, 8: 0.05}, balance_all_blocks=True),
         num_epochs=epochs,
         batch_size=64,
         lr=6.716e-4,  # pinned HPO-best hyperparameters (BASELINE.md)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""FID-10k / CLIPScore evaluation run — the baseline-establishing artifact.
+
+BASELINE.md: the reference publishes no FID/CLIPScore numbers, so this
+repo must establish them itself. This script produces runs/eval/ with:
+  - metrics.json: fid (InceptionV3 pool-2048 features by default — the
+    reference's feature space, inference.py:161-208), clip_score,
+    expert_utilization, num_samples, the exact repro command, and a
+    `semantic` flag: false when the feature towers run with random-init
+    weights (zero-egress env — protocol-only numbers, clearly labeled),
+    true when converted Inception/CLIP weights are on disk.
+  - reference_stats.npz: Gaussian stats of the real images in the same
+    feature space (the serving-time FID path consumes this,
+    FIDEvaluator.load_reference_stats).
+
+Usage (flagship 64x64, 10k samples):
+  python scripts/eval_run.py --model_path runs/eval/ckpt.msgpack \
+      --num_samples 10000
+With no --model_path it quick-trains a flagship checkpoint on the
+synthetic fixture first (documented in metrics.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", type=str, default="")
+    ap.add_argument("--data_dir", type=str, default="",
+                    help="processed COCO npy dir; synthetic fixture if empty")
+    ap.add_argument("--num_samples", type=int, default=10_000)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--max_resolution", type=int, default=64)
+    ap.add_argument("--train_epochs", type=int, default=2,
+                    help="quick-train epochs when no --model_path is given")
+    ap.add_argument("--feature_source", type=str, default="inception",
+                    choices=("inception", "clip"))
+    ap.add_argument("--out_dir", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.path.join(repo, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from moegan_tpu.config import (
+        DiscriminatorConfig,
+        GeneratorConfig,
+        TrainConfig,
+    )
+    from moegan_tpu.data.datasets import ProcessedMSCOCODataset, synthetic_dataset
+    from moegan_tpu.infer.evaluate import evaluate_fid_clipscore
+    from moegan_tpu.infer.fid import (
+        FIDEvaluator,
+        clip_feature_extractor,
+        inception_feature_extractor,
+    )
+    from moegan_tpu.models.clip_jax import CLIP_WEIGHTS_ENV, load_clip_params
+    from moegan_tpu.models.inception_jax import INCEPTION_WEIGHTS_ENV
+    from moegan_tpu.utils.checkpoint import load_generator_params, save_generator_params
+
+    out_dir = args.out_dir or os.path.join(repo, "runs", "eval")
+    os.makedirs(out_dir, exist_ok=True)
+
+    r = args.max_resolution
+    full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
+    gen_cfg = GeneratorConfig(
+        max_resolution=r, channels={k: v for k, v in full.items() if k <= r}
+    )
+
+    if args.data_dir:
+        ds = ProcessedMSCOCODataset.load(args.data_dir, "validation")
+    else:
+        n = max(args.num_samples, args.batch_size)
+        ds = synthetic_dataset(n, r, seed=0)
+
+    trained_here = None
+    if args.model_path:
+        g_params = load_generator_params(args.model_path)
+    else:
+        # Quick-train a flagship checkpoint so the artifact evaluates a
+        # real (if short) training run rather than a random init.
+        from moegan_tpu.train.loop import train_aurora_gan
+
+        cfg = TrainConfig(
+            generator=gen_cfg,
+            discriminator=DiscriminatorConfig(max_resolution=r),
+            num_epochs=args.train_epochs,
+            batch_size=32,
+            steps_per_epoch=None,
+        )
+        train_ds = synthetic_dataset(2048, r, seed=2)
+        t0 = time.time()
+        state = train_aurora_gan(train_ds, None, cfg=cfg, distributed=False)
+        trained_here = {
+            "train_epochs": args.train_epochs,
+            "train_samples": len(train_ds),
+            "train_seconds": round(time.time() - t0, 1),
+        }
+        g_params = state.g_params
+        save_generator_params(os.path.join(out_dir, "ckpt.msgpack"), g_params)
+
+    clip_params = load_clip_params()
+    t0 = time.time()
+    res = evaluate_fid_clipscore(
+        g_params, ds, clip_params, cfg=gen_cfg,
+        num_samples=args.num_samples, batch_size=args.batch_size,
+        feature_source=args.feature_source,
+    )
+    eval_seconds = time.time() - t0
+
+    # reference_stats.npz for the serving-time FID path (same features).
+    extractor = (
+        inception_feature_extractor(batch_size=min(args.batch_size, 32))
+        if args.feature_source == "inception"
+        else clip_feature_extractor(clip_params, batch_size=min(args.batch_size, 32))
+    )
+    ev = FIDEvaluator(extractor)
+    ev.set_reference_images(ds.images[: res["num_samples"]])
+    ev.save_reference_stats(os.path.join(out_dir, "reference_stats.npz"))
+
+    semantic = bool(
+        os.environ.get(INCEPTION_WEIGHTS_ENV) and os.environ.get(CLIP_WEIGHTS_ENV)
+    )
+    record = {
+        **res,
+        "eval_seconds": round(eval_seconds, 1),
+        "dataset": args.data_dir or f"synthetic fixture ({len(ds)} samples, {r}x{r})",
+        "semantic": semantic,
+        "note": (
+            "protocol-only numbers: feature towers run with deterministic "
+            "random-init weights (zero-egress environment). Converted "
+            "weights via scripts/convert_inception.py + convert_clip.py "
+            "make these semantic without code changes."
+            if not semantic else "semantic: pretrained feature towers"
+        ),
+        "quick_train": trained_here,
+        "command": " ".join(["python", "scripts/eval_run.py", *sys.argv[1:]]),
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({k: record[k] for k in ("fid", "clip_score", "num_samples", "semantic")}))
+    print(f"eval artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -161,3 +161,20 @@ def test_checkpoint_bare_params_tolerated(tmp_path, sampler):
     save_generator_params(p, sampler.g_params, wrapped=False)
     loaded = load_generator_params(p)
     assert "constant" in loaded
+
+
+def test_job_store_bounded_under_poll_storm():
+    """Expired jobs must vanish without a direct get — the store is swept
+    on every job submission and by a background timer (round-1 gap:
+    sweep() existed but was never scheduled)."""
+    import time
+
+    from moegan_tpu.infer.serving import JobStore
+
+    store = JobStore(ttl_seconds=0.05)
+    for i in range(50):
+        store.put(f"job-{i}", "COMPLETED", {"n": i})
+    assert len(store._jobs) == 50
+    time.sleep(0.1)
+    store.sweep()
+    assert len(store._jobs) == 0

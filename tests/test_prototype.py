@@ -112,3 +112,24 @@ def test_cluster_training_learns_labels():
     )
     assert hist["val_accuracy"][-1] > 0.6
     assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_enhanced_dataset_container():
+    """EnhancedMSCOCODataset analog (ref moe_integration.py:32-73): wraps
+    a processed dataset with cluster labels; trainers accept it directly."""
+    from moegan_tpu.data.datasets import EnhancedMSCOCODataset, synthetic_dataset
+
+    base = synthetic_dataset(40, 16, seed=3, text_dim=32)
+    ds = EnhancedMSCOCODataset.from_dataset(base, n_clusters=3, seed=1)
+    assert len(ds) == 40
+    img, emb, lab = ds[0]
+    assert img.shape == (16, 16, 3) and emb.shape == (32,)
+    assert 0 <= int(lab) < 3
+    assert ds.num_clusters <= 3
+    assert len(ds.cluster_descriptions) == ds.num_clusters
+
+    _, _, hist = train_moe_with_clusters(ds, epochs=2, hidden_dim=16, batch_size=16)
+    assert len(hist["val_accuracy"]) == 2
+
+    with pytest.raises(ValueError):
+        EnhancedMSCOCODataset(base, np.zeros(3, np.int32))

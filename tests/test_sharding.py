@@ -72,6 +72,28 @@ def test_batch_sharding(dist):
     assert b["image"].sharding.spec == P("data", None, None, None)
 
 
+def test_prefetch_lands_sharded_and_shard_batch_is_noop(dist):
+    """The prefetcher must place batches with their final mesh sharding in
+    one device_put; shard_batch must then pass them through untouched."""
+    from moegan_tpu.data.loader import prefetch_to_device
+    from moegan_tpu.parallel.sharding import batch_sharding
+
+    mesh, *_ = dist
+    host_batches = [
+        {k: np.asarray(v) for k, v in _batch(jax.random.PRNGKey(i)).items()}
+        for i in range(3)
+    ]
+    seen = 0
+    for b in prefetch_to_device(iter(host_batches), size=2, sharding=batch_sharding(mesh)):
+        assert b["image"].sharding.spec == P("data", None, None, None)
+        assert b["text"].sharding.spec == P("data", None)
+        again = shard_batch(b, mesh)
+        assert again["image"] is b["image"]  # no second device_put
+        assert again["text"] is b["text"]
+        seen += 1
+    assert seen == 3
+
+
 def test_multi_device_matches_single_device():
     """Same seed, same batch: the 2x4 mesh must reproduce single-device
     results (GSPMD partitioning is numerics-preserving for this graph up

@@ -48,7 +48,9 @@ def test_d_learns_on_fixed_batch(setup):
     for name in ("g_loss", "r1_loss", "kl_loss", "balance_loss"):
         assert np.isfinite(float(m[name])), name
     util = np.asarray(m["expert_util"])
-    assert util.shape == (4,) and abs(util.sum() - 1.0) < 1e-3
+    # Per-block utilization [num_blocks, E]; each block's row sums to 1.
+    assert util.shape == (3, 4)
+    np.testing.assert_allclose(util.sum(axis=-1), 1.0, atol=1e-3)
 
 
 def test_nan_batch_does_not_poison_params(setup):
