@@ -35,16 +35,21 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resolution", type=int, default=64)
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--with-clip", action="store_true")
     ap.add_argument("--mode", choices=["train", "gen"], default="train")
-    ap.add_argument("--no-remat", action="store_true",
-                    help="disable generative-block rematerialization")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable generative-block rematerialization (off by "
+                    "default: at 64x64 on v5e the recompute costs more than "
+                    "the HBM it saves — see README perf table)")
+    ap.add_argument("--no-remat", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable Pallas kernels (XLA einsum MoE + chunked attention)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = ap.parse_args()
+    # remat is opt-in since round 2 (--no-remat kept for back-compat).
+    args.no_remat = not args.remat
 
     import jax
 
@@ -187,7 +192,15 @@ def main():
         baselines[baseline_key] = imgs_per_sec_per_chip
         with open(baseline_path, "w") as f:
             json.dump(baselines, f, indent=2)
-    vs_baseline = imgs_per_sec_per_chip / baselines[baseline_key]
+    # The flagship family (64x64 train step, no CLIP) always compares
+    # against the ROUND-1 driver number (558 imgs/s/chip, BENCH_r01.json)
+    # so vs_baseline tracks cross-round progress even as the default
+    # batch/remat config evolves; other configs compare per-key.
+    flagship = args.mode == "train" and r == 64 and not args.with_clip
+    if flagship and "flagship_round1" in baselines:
+        vs_baseline = imgs_per_sec_per_chip / baselines["flagship_round1"]
+    else:
+        vs_baseline = imgs_per_sec_per_chip / baselines[baseline_key]
 
     print(
         json.dumps(

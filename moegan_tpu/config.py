@@ -176,6 +176,12 @@ class LossConfig(_JsonMixin):
     # applies the CV balance loss to every block's routing (mean over
     # blocks); False keeps reference parity.
     balance_all_blocks: bool = False
+    # "cv": reference CV-of-soft-mass balance (:951-1000). "switch":
+    # Switch-Transformer load loss E*sum(f_i*P_i) over hard dispatch
+    # fractions — balances the argmax assignment distribution itself,
+    # which the CV term can leave skewed while temperature annealing
+    # keeps soft probs near-uniform (round-2 demo analysis).
+    balance_kind: str = "cv"
 
 
 @dataclass(frozen=True)

@@ -241,6 +241,7 @@ def run_hpo(
     when max_parallel_jobs > 1 (e.g. a JobRunner subprocess per trial).
     """
     rng = np.random.default_rng(seed)
+    max_parallel_jobs = max(1, max_parallel_jobs)
     sign = 1.0 if space.objective_minimize else -1.0
     trials: list[Trial] = []
     lock = threading.Lock()

@@ -76,23 +76,48 @@ def _cv_balance(probs: jax.Array) -> jax.Array:
     return jnp.nan_to_num(balance, nan=0.0)
 
 
+def _switch_balance(probs: jax.Array) -> jax.Array:
+    """Switch-Transformer auxiliary load loss E * sum(f_i * P_i) where
+    f_i is the HARD top-1 dispatch fraction (stop-gradient one-hot counts)
+    and P_i the mean soft prob. Minimum 1.0 at a uniform assignment.
+
+    Unlike the CV-of-soft-mass term, this penalizes skew in the argmax
+    distribution directly — router temperature annealing can hold soft
+    probs near-uniform (making CV ~0) while the underlying logits still
+    collapse every hard routing decision onto a couple of experts, which
+    is exactly what eval-mode (hard top-1) sampling then exposes."""
+    p = probs.astype(jnp.float32)
+    p = p.reshape(-1, p.shape[-1])  # [N, E]
+    num_experts = p.shape[-1]
+    hard = jax.nn.one_hot(jnp.argmax(p, axis=-1), num_experts, dtype=jnp.float32)
+    f = jax.lax.stop_gradient(jnp.mean(hard, axis=0))
+    mean_p = jnp.mean(p, axis=0)
+    return num_experts * jnp.sum(f * mean_p)
+
+
 def moe_balance_loss(
-    routing_probs, balance_weight: float = 0.01, all_blocks: bool = False
+    routing_probs,
+    balance_weight: float = 0.01,
+    all_blocks: bool = False,
+    kind: str = "cv",
 ) -> jax.Array:
-    """CV load-balance loss over routing probabilities.
+    """Load-balance loss over routing probabilities.
 
     routing_probs: sequence of [B, T, E] (or [N, E]) arrays. Reference
-    parity (all_blocks=False) penalizes only the LAST block's routing
-    (ref :951-1000); all_blocks=True averages the CV term over every block
-    so collapse in earlier blocks is also penalized (round-1 demo showed
-    block_1 collapsing to 2/4 experts under last-block-only balancing).
+    parity (all_blocks=False, kind="cv") penalizes only the LAST block's
+    routing (ref :951-1000); all_blocks=True averages the term over every
+    block so collapse in earlier blocks is also penalized (round-1 demo
+    showed block_1 collapsing to 2/4 experts under last-block-only
+    balancing). kind="switch" uses the hard-dispatch load loss — see
+    _switch_balance for when the CV term is insufficient.
     """
     if not routing_probs:
         return jnp.zeros((), jnp.float32)
+    term = _switch_balance if kind == "switch" else _cv_balance
     if all_blocks:
-        balance = jnp.mean(jnp.stack([_cv_balance(p) for p in routing_probs]))
+        balance = jnp.mean(jnp.stack([term(p) for p in routing_probs]))
     else:
-        balance = _cv_balance(routing_probs[-1])
+        balance = term(routing_probs[-1])
     return balance_weight * balance
 
 
@@ -124,3 +149,15 @@ def expert_utilization_per_block(routing_probs) -> jax.Array:
             for p in routing_probs
         ]
     )
+
+
+def expert_top1_per_block(routing_probs) -> jax.Array:
+    """[num_blocks, E] HARD top-1 dispatch fractions per block. Soft means
+    can read ~uniform under temperature annealing while every argmax lands
+    on two experts — this is the signal eval-mode sampling actually uses."""
+    out = []
+    for p in routing_probs:
+        p2 = p.astype(jnp.float32).reshape(-1, p.shape[-1])
+        hard = jax.nn.one_hot(jnp.argmax(p2, axis=-1), p2.shape[-1], dtype=jnp.float32)
+        out.append(jnp.mean(hard, axis=0))
+    return jnp.stack(out)

@@ -147,6 +147,8 @@ def train_aurora_gan(
             # Per-block expert utilization [num_blocks, E] — the collapse
             # signal the scalar log filter used to drop silently.
             log.log_vector("expert_util_per_block", last_metrics["expert_util"], step)
+        if last_metrics is not None and "expert_top1" in last_metrics:
+            log.log_vector("expert_top1_per_block", last_metrics["expert_top1"], step)
 
         # ===== validation (ref :1518-1629) =====
         if val_dataset is not None and len(val_dataset) >= cfg.batch_size:

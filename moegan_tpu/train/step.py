@@ -24,6 +24,7 @@ from moegan_tpu.config import TrainConfig
 from moegan_tpu.losses.clip_loss import clip_loss
 from moegan_tpu.losses.gan import (
     discriminator_loss,
+    expert_top1_per_block,
     expert_utilization_per_block,
     generator_loss,
     moe_balance_loss,
@@ -126,7 +127,10 @@ def make_train_step(
                         g_clip = g_clip + weight * cl
 
             balance = moe_balance_loss(
-                out.routing, lcfg.balance_weight, all_blocks=lcfg.balance_all_blocks
+                out.routing,
+                lcfg.balance_weight,
+                all_blocks=lcfg.balance_all_blocks,
+                kind=lcfg.balance_kind,
             )
             total = g_gan + g_clip + balance + eff_kl_w * kl
             aux = dict(
@@ -134,6 +138,7 @@ def make_train_step(
                 kl_loss=kl,
                 balance_loss=balance,
                 expert_util=expert_utilization_per_block(out.routing),
+                expert_top1=expert_top1_per_block(out.routing),
                 **clip_metrics,
             )
             return total, aux

@@ -49,9 +49,16 @@ def main():
         ),
         discriminator=DiscriminatorConfig(max_resolution=16),
         # balance_all_blocks: round-1 demo showed block_1 collapsing to 2/4
-        # experts under reference last-block-only balancing; per-block CV
-        # balance keeps every block's experts alive.
-        loss=LossConfig(clip_weights={16: 0.1, 8: 0.05}, balance_all_blocks=True),
+        # experts under reference last-block-only balancing. balance_kind=
+        # "switch": the CV-of-soft-mass term reads ~0 under temperature
+        # annealing while the argmax distribution (what eval-mode hard
+        # routing uses) still collapses — the Switch load loss balances
+        # hard dispatch directly (round-2 demo analysis).
+        loss=LossConfig(
+            clip_weights={16: 0.1, 8: 0.05},
+            balance_all_blocks=True,
+            balance_kind="switch",
+        ),
         num_epochs=epochs,
         batch_size=64,
         lr=6.716e-4,  # pinned HPO-best hyperparameters (BASELINE.md)
@@ -69,9 +76,14 @@ def main():
     save_generator_params(os.path.join(out_dir, "aurora_model_final.msgpack"), state.g_params)
 
     sampler = Sampler(cfg.generator, state.g_params)
-    images, stats = sampler(ds.text_embeddings[:16], num_samples=16,
-                            truncation_psi=0.7, return_stats=True)
+    images = sampler(ds.text_embeddings[:16], num_samples=16, truncation_psi=0.7)
     save_grid(np.asarray(images), os.path.join(out_dir, "samples.png"))
+    # Utilization stats on a larger batch: eval-mode routing is hard top-1
+    # per sample, so 16 samples only resolves multiples of 1/16 — 256
+    # keeps small-but-alive experts from reading as dead.
+    emb = np.tile(np.asarray(ds.text_embeddings[:64]), (4, 1))
+    _, stats = sampler(emb, num_samples=256, truncation_psi=0.7,
+                       return_stats=True)
     with open(os.path.join(out_dir, "expert_utilization.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(f"demo artifacts in {out_dir}")

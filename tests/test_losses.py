@@ -64,6 +64,41 @@ def test_balance_loss_uses_last_block_and_handles_empty():
     assert float(moe_balance_loss([], 1.0)) == 0.0
 
 
+def test_switch_balance_minimized_at_uniform_dispatch():
+    """kind="switch" = Switch aux loss E*sum(f_i*P_i): exactly 1.0 when
+    hard dispatch is uniform, > 1.0 when argmax collapses — even when the
+    soft probs are near-uniform (temperature-annealed), where the CV term
+    reads ~0 and misses the collapse."""
+    E = 4
+    # Near-uniform soft probs whose argmax ALWAYS lands on expert 0.
+    skew = np.full((64, E), 0.2475, np.float32)
+    skew[:, 0] = 0.2575
+    got_cv = float(moe_balance_loss([jnp.asarray(skew)], 1.0, kind="cv"))
+    got_sw = float(moe_balance_loss([jnp.asarray(skew)], 1.0, kind="switch"))
+    assert got_cv < 0.1  # CV can't see it
+    assert got_sw == pytest.approx(E * 0.2575, rel=1e-5)  # f=[1,0,0,0]
+
+    # Uniform hard dispatch -> exactly 1.0.
+    eye = np.tile(np.eye(E, dtype=np.float32), (16, 1))
+    assert float(moe_balance_loss([jnp.asarray(eye)], 1.0, kind="switch")) == pytest.approx(1.0)
+
+
+def test_switch_balance_gradient_pushes_toward_uniform():
+    """d/dP of E*sum(f*P) is E*f (through the soft probs only): the
+    overloaded expert's mean prob is pushed down."""
+    E = 4
+    logits = jnp.asarray(np.random.default_rng(7).normal(size=(32, E)), jnp.float32)
+    logits = logits.at[:, 0].add(3.0)  # collapse onto expert 0
+
+    def loss(lg):
+        return moe_balance_loss([jax.nn.softmax(lg, -1)], 1.0, kind="switch")
+
+    g = jax.grad(loss)(logits)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # Expert-0 logits get positive gradient (descent lowers them).
+    assert float(jnp.mean(g[:, 0])) > 0.0
+
+
 def test_r1_penalty_closed_form():
     """D(x) = sum(a * x) has constant gradient a -> R1 = gamma/2 * ||a||^2."""
     a = jnp.asarray(np.random.default_rng(3).normal(size=(1, 4, 4, 3)).astype(np.float32))
