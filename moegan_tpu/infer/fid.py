@@ -19,6 +19,7 @@ fits Gaussians, and computes the Frechet distance with scipy sqrtm; when
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Union
 
 import numpy as np
@@ -88,11 +89,17 @@ def clip_feature_extractor(clip_params, batch_size: int = 8) -> Callable:
 
     from moegan_tpu.models import clip_jax
 
+    # params as an ARGUMENT, not a closure capture: captured arrays embed
+    # in the HLO as constants (~100 MB for the tower), which overflows the
+    # axon tunnel's compile-request size limit (HTTP 413).
     @jax.jit
-    def feats(images):
-        return clip_jax.image_features(clip_params, images)
+    def feats(params, images):
+        return clip_jax.image_features(params, images)
 
-    return _batched_extractor(feats, batch_size)
+    import jax.numpy as jnp
+
+    device_params = jax.tree_util.tree_map(jnp.asarray, clip_params)
+    return _batched_extractor(lambda im: feats(device_params, im), batch_size)
 
 
 def inception_feature_extractor(
@@ -111,11 +118,18 @@ def inception_feature_extractor(
     if inception_params is None:
         inception_params = inception_jax.load_inception_params()
 
-    @jax.jit
-    def feats(images):
-        return inception_jax.features(inception_params, images, variant=variant)
+    # params as an ARGUMENT (see clip_feature_extractor): closure-captured
+    # weights become HLO constants and overflow the tunnel compile limit.
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def feats(params, images, variant):
+        return inception_jax.features(params, images, variant=variant)
 
-    return _batched_extractor(feats, batch_size)
+    import jax.numpy as jnp
+
+    device_params = jax.tree_util.tree_map(jnp.asarray, inception_params)
+    return _batched_extractor(
+        lambda im: feats(device_params, im, variant), batch_size
+    )
 
 
 class FIDEvaluator:

@@ -341,6 +341,163 @@ def _bwd_dw1_kernel(
     db1_ref[0] += jnp.sum(dz, axis=0, keepdims=True).astype(db1_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    dout_ref,
+    dx_ref, dp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, num_experts: int,
+):
+    """Single-kernel FFN backward; grid (T_tiles, E), e innermost.
+
+    One z/h recompute feeds dx, dW1/db1 AND dW2/db2 (the three-kernel
+    version redid it per output — the reason it lost to XLA recompute in
+    round 1). Residency: dx/dp blocks are indexed by t, so they stay in
+    VMEM across the whole inner expert loop; the weight-grad outputs are
+    whole-array blocks (constant index_map), resident for the entire
+    grid — requires E*(C*F + F*C) fp32 accumulators to fit VMEM, i.e.
+    C <= 128 on v5e, which covers the high-token-count blocks where the
+    backward matters.
+    """
+    t = pl.program_id(0)
+    e = pl.program_id(1)
+    x = x_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+
+    probs, z, h = _probs_and_expert_tile(
+        x, fw_ref, cw_ref, tl_ref, it_ref, w1_ref[0], b1_ref[0]
+    )
+
+    # y_e for dp(combine): y = h @ w2 + b2 — b2 contributes a constant to
+    # <dout, y_e>; include it for exactness.
+    y = jax.lax.dot_general(
+        h, w2_ref[0].astype(h.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+
+    @pl.when(e == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dp_ref[:] = jnp.zeros_like(dp_ref)
+
+    @pl.when(jnp.logical_and(t == 0, e == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dp_col = jnp.sum(dout * y, axis=-1, keepdims=True)  # [blk, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dp_ref.shape, 1)
+    dp_ref[:] += jnp.where(lane == e, dp_col, 0.0)
+
+    dy = _p_e(probs, e) * dout  # [blk, C]
+    dh = jax.lax.dot_general(
+        dy.astype(w2_ref.dtype), w2_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, F]
+    dz = dh * _gelu_grad(z)
+
+    dx_ref[:] += jax.lax.dot_general(
+        dz.astype(w1_ref.dtype), w1_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+    # Weight grads accumulate into this expert's row (dynamic index on the
+    # leading axis lowers fine; it's the lane axis that doesn't).
+    dzc = dz.astype(x.dtype)
+    dw1_ref[e] += jax.lax.dot_general(
+        x, dzc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1_ref.dtype)
+    db1_ref[e] += jnp.sum(dz, axis=0, keepdims=True).astype(db1_ref.dtype)
+    dw2_ref[e] += jax.lax.dot_general(
+        h, dy.astype(h.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2_ref.dtype)
+    db2_ref[e] += jnp.sum(dy, axis=0, keepdims=True).astype(db2_ref.dtype)
+
+
+def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
+    """One-kernel FFN backward + XLA router chain."""
+    x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
+    T, C = x.shape
+    E, _, F = w1.shape
+    hdim = fw.shape[-1]
+    it = jnp.full((1,), inv_temp, jnp.float32)
+    b1r = b1[:, None, :]
+    dout = dout.astype(x.dtype)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, num_experts=E),
+        grid=(T // block_t, E),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hdim), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, E), lambda t, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C, F), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1, F), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, F, C), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1, C), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+            jax.ShapeDtypeStruct((E, C, F), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, F), jnp.float32),
+            jax.ShapeDtypeStruct((E, F, C), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F) + 8 * E * 2 * C * F,
+            transcendentals=2 * T * F * E,
+        ),
+    )(x, fw, cw_f, text_logits, it, w1, b1r, w2, b2[:, None, :], dout)
+    dx_ffn, dp_combine, dw1, db1, dw2, db2 = outs
+
+    dp_total = dprobs.astype(jnp.float32) + dp_combine
+    _, router_vjp = jax.vjp(_router_probs_fn, x, fw, cw_f, text_logits, inv_temp)
+    dx_r, dfw, dcw, dtl, dit = router_vjp(dp_total)
+
+    dx = (dx_ffn + dx_r.astype(jnp.float32)).astype(x.dtype)
+    return (
+        dx,
+        dfw.astype(fw.dtype),
+        dcw.astype(cw_f.dtype),
+        dtl.astype(text_logits.dtype),
+        jnp.asarray(dit, jnp.float32).reshape(()),
+        dw1.astype(w1.dtype),
+        db1[:, 0, :].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[:, 0, :].astype(b2.dtype),
+    )
+
+
+# Weight-grad accumulators (E*(C*F + F*C) fp32) must fit VMEM alongside
+# the working set; 4 MB keeps C<=128/F=512/E=4 in and C>=256 out on v5e.
+_SINGLE_BWD_VMEM_BYTES = 4 * 1024 * 1024
+
+
+def _single_bwd_supported(C: int, F: int, E: int) -> bool:
+    return 2 * E * C * F * 4 <= _SINGLE_BWD_VMEM_BYTES
+
+
 def _router_probs_fn(x, fw, cw_f, text_logits, inv_temp):
     """Router pipeline only (soft), for the small XLA backward."""
     xf = x.astype(jnp.float32)
@@ -495,18 +652,19 @@ def _fused_bwd(hard, block_t, res, g):
     x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
     dout, dprobs = g
     bt = min(block_t, x.shape[0])
-    # Measured on v5e (round 1): the Pallas backward's triple z/h
-    # recompute costs more than the HBM it saves on this model's shapes
-    # (523 vs 557 imgs/sec/chip on the 64x64 step), so the XLA-recompute
-    # backward is the default; the kernels stay available for larger
-    # expert dims where the [E,T,4C] materialization dominates.
+    # Round-1's THREE-kernel Pallas backward lost to XLA recompute (523 vs
+    # 557 imgs/sec/chip: each kernel redid the z/h recompute). Round 2
+    # collapses it to ONE kernel sharing the recompute across dx/dW1/dW2
+    # (see _bwd_fused_kernel); MOEGAN_PALLAS_MOE_BWD selects:
+    #   "0" XLA recompute (default), "1" single-kernel (3-kernel fallback
+    #   for C>128 where the accumulators exceed VMEM), "3" force 3-kernel.
     import os
 
-    if (
-        not hard
-        and _pallas_supported(x, bt)
-        and os.environ.get("MOEGAN_PALLAS_MOE_BWD", "0") == "1"
-    ):
+    mode = os.environ.get("MOEGAN_PALLAS_MOE_BWD", "0")
+    if not hard and _pallas_supported(x, bt) and mode in ("1", "3"):
+        E, C, F = w1.shape
+        if mode == "1" and _single_bwd_supported(C, F, E):
+            return _fused_moe_bwd_single(res, dout, dprobs, bt)
         return _fused_moe_bwd_pallas(res, dout, dprobs, bt)
     # Default: recompute through the identical XLA formulation.
     _, vjp = jax.vjp(

@@ -165,6 +165,65 @@ def test_pallas_backward_matches_xla_vjp():
         )
 
 
+def test_single_kernel_backward_matches_xla_vjp():
+    """The round-2 ONE-kernel backward (shared z/h recompute feeding
+    dx/dW1/dW2, VMEM-resident weight-grad accumulators) must reproduce
+    the XLA-recompute gradients exactly like the 3-kernel version."""
+    from unittest import mock
+
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, H, E, F = 64, 16, 8, 4, 32
+    key = jax.random.PRNGKey(42)
+    ks = jax.random.split(key, 10)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    fw = jax.random.normal(ks[1], (C, H)) * 0.1
+    cw = jax.random.normal(ks[2], (H, E)) * 0.1
+    tl = jax.random.normal(ks[3], (T, E)) * 0.1
+    it = jnp.float32(0.5)
+    w1 = jax.random.normal(ks[4], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[5], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[6], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[7], (E, C)) * 0.1
+    dout = jax.random.normal(ks[8], (T, C))
+    dprobs = jax.random.normal(ks[9], (T, E)) * 0.1
+
+    def loss_ref(*args):
+        out, probs = fm.moe_ffn_reference(*args, False)
+        return jnp.sum(out * dout) + jnp.sum(probs * dprobs)
+
+    want = jax.grad(loss_ref, argnums=tuple(range(9)))(
+        x, fw, cw, tl, it, w1, b1, w2, b2
+    )
+
+    assert fm._single_bwd_supported(C, F, E)
+    real_call = fm.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(fm.pl, "pallas_call", interp_call):
+        got = fm._fused_moe_bwd_single(
+            (x, fw, cw, tl, it, w1, b1, w2, b2), dout, dprobs, block_t=32
+        )
+
+    names = ["dx", "dfw", "dcw", "dtl", "dit", "dw1", "db1", "dw2", "db2"]
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32).reshape(np.shape(b)),
+            np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-5, err_msg=name,
+        )
+
+
+def test_single_bwd_vmem_gate():
+    import moegan_tpu.ops.fused_moe as fm
+
+    assert fm._single_bwd_supported(128, 512, 4)   # flagship hi-token blocks
+    assert not fm._single_bwd_supported(512, 2048, 4)  # 32MB of accumulators
+
+
 def test_fused_gradients_flow_via_pallas_bwd(moes):
     """End-to-end custom_vjp path on CPU falls back; force-support to run
     the Pallas bwd assembly in interpret mode through SparseMoE."""
