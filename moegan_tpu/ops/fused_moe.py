@@ -655,17 +655,24 @@ def _fused_bwd(hard, block_t, res, g):
     # Round-1's THREE-kernel Pallas backward lost to XLA recompute (523 vs
     # 557 imgs/sec/chip: each kernel redid the z/h recompute). Round 2
     # collapses it to ONE kernel sharing the recompute across dx/dW1/dW2
-    # (see _bwd_fused_kernel); MOEGAN_PALLAS_MOE_BWD selects:
-    #   "0" XLA recompute (default), "1" single-kernel (3-kernel fallback
-    #   for C>128 where the accumulators exceed VMEM), "3" force 3-kernel.
+    # (see _bwd_fused_kernel) — measured 727 vs 694 imgs/sec/chip on the
+    # b64 64x64 step, so it is now the DEFAULT on the blocks whose
+    # accumulators fit VMEM (C<=128). MOEGAN_PALLAS_MOE_BWD selects:
+    #   "1" single-kernel + XLA-recompute fallback (default),
+    #   "0" XLA recompute everywhere, "3" force the legacy 3-kernel.
     import os
 
-    mode = os.environ.get("MOEGAN_PALLAS_MOE_BWD", "0")
+    mode = os.environ.get("MOEGAN_PALLAS_MOE_BWD", "1")
     if not hard and _pallas_supported(x, bt) and mode in ("1", "3"):
         E, C, F = w1.shape
-        if mode == "1" and _single_bwd_supported(C, F, E):
-            return _fused_moe_bwd_single(res, dout, dprobs, bt)
-        return _fused_moe_bwd_pallas(res, dout, dprobs, bt)
+        if mode == "1":
+            # Single-kernel where the accumulators fit VMEM; XLA recompute
+            # elsewhere (the 3-kernel path measured slower than XLA on the
+            # big-C blocks, and compiling it wastes minutes of Mosaic time).
+            if _single_bwd_supported(C, F, E):
+                return _fused_moe_bwd_single(res, dout, dprobs, bt)
+        else:
+            return _fused_moe_bwd_pallas(res, dout, dprobs, bt)
     # Default: recompute through the identical XLA formulation.
     _, vjp = jax.vjp(
         lambda *a: moe_ffn_reference(*a, hard), x, fw, cw_f, text_logits,

@@ -54,10 +54,17 @@ def main():
         # annealing while the argmax distribution (what eval-mode hard
         # routing uses) still collapses — the Switch load loss balances
         # hard dispatch directly (round-2 demo analysis).
+        # balance_weight 0.04 (4x reference): with temperature-flattened
+        # probs the switch loss's argmax pressure is weak — P near-uniform
+        # makes E*sum(f*P) ~= 1 for any dispatch f — so the demo leans on
+        # a stronger weight until annealing sharpens the probs (temp
+        # reaches 1.0 at epoch 20 under the reference max(1, 3-0.1e)
+        # schedule; run >= 20 epochs for hard-dispatch balance).
         loss=LossConfig(
             clip_weights={16: 0.1, 8: 0.05},
             balance_all_blocks=True,
             balance_kind="switch",
+            balance_weight=0.04,
         ),
         num_epochs=epochs,
         batch_size=64,
