@@ -91,6 +91,19 @@ def main():
     emb = np.tile(np.asarray(ds.text_embeddings[:64]), (4, 1))
     _, stats = sampler(emb, num_samples=256, truncation_psi=0.7,
                        return_stats=True)
+    # Soft (pre-argmax) routing mass on the same samples: the quantity the
+    # balance loss actually controls. Training-mode forward, fixed rng.
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    z = _jax.random.normal(_jax.random.PRNGKey(7), (256, cfg.generator.latent_dim))
+    out = sampler.gen.apply(
+        {"params": state.g_params}, z, _jnp.asarray(emb, _jnp.float32),
+        training=True, rngs={"router": _jax.random.PRNGKey(3)},
+    )
+    for i, p in enumerate(out.routing):
+        p = np.asarray(p, np.float32).reshape(-1, p.shape[-1])
+        stats[f"block_{i}"]["soft_mean_prob"] = p.mean(0).tolist()
     with open(os.path.join(out_dir, "expert_utilization.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(f"demo artifacts in {out_dir}")
