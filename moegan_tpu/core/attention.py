@@ -65,14 +65,23 @@ class MultiHeadAttention(nn.Module):
 
             out = flash_attention(qh, kh, vh)
         else:
-            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-            ) * scale
-            probs = jax.nn.softmax(logits, axis=-1).astype(cd)
-            out = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs, vh, preferred_element_type=jnp.float32
-            )
+            # checkpoint: without it XLA saves the fp32 [B,H,T,T] score and
+            # prob tensors as backward residuals (67 MB each at T=256/b64 —
+            # among the largest buffers in the whole step, HLO attribution
+            # in scripts/hlo_traffic.py); recomputing them in the backward
+            # costs two tiny matmuls.
+            @jax.checkpoint
+            def _sdpa(qh, kh, vh):
+                scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+                ) * scale
+                probs = jax.nn.softmax(logits, axis=-1).astype(cd)
+                return jnp.einsum(
+                    "bhqk,bkhd->bqhd", probs, vh, preferred_element_type=jnp.float32
+                )
+
+            out = _sdpa(qh, kh, vh)
 
         B, Tq = q.shape[0], q.shape[1]
         out = out.reshape(B, Tq, D).astype(cd)

@@ -472,7 +472,12 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
     dx_ffn, dp_combine, dw1, db1, dw2, db2 = outs
 
     dp_total = dprobs.astype(jnp.float32) + dp_combine
-    _, router_vjp = jax.vjp(_router_probs_fn, x, fw, cw_f, text_logits, inv_temp)
+    # checkpoint: a plain vjp saves feat_proj ([T,h] fp32 — 134 MB at the
+    # res-64 token count) as a residual; recomputing the two small router
+    # matmuls in the backward is ~free.
+    _, router_vjp = jax.vjp(
+        jax.checkpoint(_router_probs_fn), x, fw, cw_f, text_logits, inv_temp
+    )
     dx_r, dfw, dcw, dtl, dit = router_vjp(dp_total)
 
     dx = (dx_ffn + dx_r.astype(jnp.float32)).astype(x.dtype)
@@ -590,7 +595,12 @@ def _fused_moe_bwd_pallas(res, dout, dprobs, block_t: int):
 
     # Router chain in XLA: dp_total -> dx_router, dfw, dcw_f, dtl, dinv_temp.
     dp_total = dprobs.astype(jnp.float32) + dp_combine
-    _, router_vjp = jax.vjp(_router_probs_fn, x, fw, cw_f, text_logits, inv_temp)
+    # checkpoint: a plain vjp saves feat_proj ([T,h] fp32 — 134 MB at the
+    # res-64 token count) as a residual; recomputing the two small router
+    # matmuls in the backward is ~free.
+    _, router_vjp = jax.vjp(
+        jax.checkpoint(_router_probs_fn), x, fw, cw_f, text_logits, inv_temp
+    )
     dx_r, dfw, dcw, dtl, dit = router_vjp(dp_total)
 
     dx = (dx_ffn + dx_r.astype(jnp.float32)).astype(x.dtype)
