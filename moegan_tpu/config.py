@@ -213,6 +213,12 @@ class TrainConfig(_JsonMixin):
     log_interval: int = 10
     seed: int = 0
     steps_per_epoch: int | None = None  # derived from the dataset if None
+    # One generator forward per step, reused by the D phase via
+    # stop_gradient (the standard GAN pattern) — saves ~a fifth of the
+    # step. False regenerates the fake per phase with an independent
+    # Bayesian weight sample, reproducing the reference exactly
+    # (t2i_moe_gan.py:1292, :1358).
+    shared_fake: bool = True
     loss: LossConfig = field(default_factory=LossConfig)
     generator: GeneratorConfig = field(default_factory=GeneratorConfig)
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)

@@ -64,6 +64,31 @@ def make_train_step(
         perm = jax.random.permutation(k_shuffle, B)
         mismatched_text = text[perm]
 
+        # One differentiable generator forward per step when shared_fake
+        # (the standard GAN pattern — PyTorch DCGAN-tutorial style: D
+        # trains on output.detach(), G reuses the same output). The
+        # reference regenerates per phase (:1292, :1358) — two full G
+        # forwards with independent Bayesian weight samples; shared_fake
+        # = False reproduces that. Sharing saves ~a fifth of the step
+        # (G forward is 17.8 ms of 92 ms at b64, scripts/phase_bench.py).
+        shared = cfg.shared_fake
+
+        def g_forward(g_params):
+            return gen.apply(
+                {"params": g_params},
+                z,
+                text,
+                training=True,
+                annealing_factor=temp,
+                rngs={"router": k_router_g},
+            )
+
+        if shared:
+            shared_out, g_pullback = jax.vjp(g_forward, state.g_params)
+            d_fake = jax.lax.stop_gradient(shared_out.image)
+        else:
+            d_fake = None
+
         # ------------------ D phase ------------------
         def d_loss_fn(d_params):
             def d_on_images(imgs):
@@ -75,15 +100,18 @@ def make_train_step(
             pen = jnp.sum(jnp.square(grad_real.astype(jnp.float32)), axis=(1, 2, 3))
             r1 = (lcfg.r1_gamma / 2.0) * jnp.mean(pen)
 
-            fake_out = gen.apply(
-                {"params": jax.lax.stop_gradient(state.g_params)},
-                z,
-                text,
-                training=True,
-                annealing_factor=temp,
-                rngs={"router": k_router_d},
-            )
-            fake = jax.lax.stop_gradient(fake_out.image)
+            if shared:
+                fake = d_fake
+            else:
+                fake_out = gen.apply(
+                    {"params": jax.lax.stop_gradient(state.g_params)},
+                    z,
+                    text,
+                    training=True,
+                    annealing_factor=temp,
+                    rngs={"router": k_router_d},
+                )
+                fake = jax.lax.stop_gradient(fake_out.image)
 
             fake_pred = disc.apply({"params": d_params}, fake, text)
             mism_pred = disc.apply({"params": d_params}, real, mismatched_text)
@@ -98,15 +126,7 @@ def make_train_step(
         d_params = jax.tree_util.tree_map(lambda p, u: p + u, state.d_params, d_updates)
 
         # ------------------ G phase ------------------
-        def g_loss_fn(g_params):
-            out = gen.apply(
-                {"params": g_params},
-                z,
-                text,
-                training=True,
-                annealing_factor=temp,
-                rngs={"router": k_router_g},
-            )
+        def g_losses_from_out(out):
             kl = jnp.minimum(out.kl, lcfg.kl_clamp)  # ref :1369-1370
 
             fake_pred_g = disc.apply({"params": d_params}, out.image, text)
@@ -143,9 +163,18 @@ def make_train_step(
             )
             return total, aux
 
-        (g_total, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+        if shared:
+            (g_total, g_aux), dout = jax.value_and_grad(
+                g_losses_from_out, has_aux=True
+            )(shared_out)
+            (g_grads,) = g_pullback(dout)
+        else:
+            def g_loss_fn(g_params):
+                return g_losses_from_out(g_forward(g_params))
+
+            (g_total, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params
+            )
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = jax.tree_util.tree_map(lambda p, u: p + u, state.g_params, g_updates)
 

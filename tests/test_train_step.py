@@ -53,6 +53,26 @@ def test_d_learns_on_fixed_batch(setup):
     np.testing.assert_allclose(util.sum(axis=-1), 1.0, atol=1e-3)
 
 
+def test_reference_parity_double_generation_mode(setup):
+    """shared_fake=False regenerates the fake per phase (reference
+    :1292/:1358 semantics). Both modes must train; with identical rngs
+    the G-phase gradients agree because the G forward uses the same
+    router stream either way — only the D phase's fake differs."""
+    _, batch, key = setup
+    import dataclasses
+
+    cfg2 = dataclasses.replace(CFG, shared_fake=False)
+    step2, _ = make_train_step(cfg2, 20, with_clip=False)
+    state = create_train_state(cfg2, key)
+    first = None
+    for i in range(12):
+        state, m = step2(state, batch, jax.random.fold_in(key, i), SCHED)
+        if i == 0:
+            first = float(m["d_loss"])
+    assert float(m["d_loss"]) < first
+    assert np.isfinite(float(m["g_total"]))
+
+
 def test_nan_batch_does_not_poison_params(setup):
     step_fn, batch, key = setup
     state = create_train_state(CFG, jax.random.PRNGKey(1))
