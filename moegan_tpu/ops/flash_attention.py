@@ -131,21 +131,33 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, block_k: int, sm_scale: float):
-    """dq for one q tile: loop kv tiles, recompute p from saved lse."""
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dq_ref, dk_ref, dv_ref, *, block_k: int, sm_scale: float):
+    """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
+    dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
+    twice and fetched q/k/v/do twice — the same inefficiency the MoE
+    backward had in round 1). dk/dv outputs are whole-[T,D] fp32 blocks
+    indexed by bh only, so they stay VMEM-resident across the inner
+    q-tile loop: zeroed at i==0, accumulated via sublane slices, cast
+    outside."""
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
     n_kv = t // block_k
+    i = pl.program_id(1)
 
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[:, :1]  # [block_q, 1]
-    delta = delta_ref[:, :1]  # [block_q, 1]
+    lse = lse_ref[:, :1]
+    delta = delta_ref[:, :1]
 
-    def body(i, dq_acc):
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+    @pl.when(i == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    def body(j, dq_acc):
+        k_blk = k_ref[pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(j * block_k, block_k), :]
 
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -157,68 +169,30 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             do.astype(v_blk.dtype), v_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        )
         ds = p * (dp - delta)
 
-        dq_acc = dq_acc + jax.lax.dot_general(
+        dv_ref[pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dk_ref[pl.ds(j * block_k, block_k), :] += (
+            jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+        ).astype(dk_ref.dtype)
+
+        return dq_acc + jax.lax.dot_general(
             ds.astype(k_blk.dtype), k_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return dq_acc
 
     dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((block_q, d), jnp.float32))
     dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
-
-
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, block_q: int, sm_scale: float):
-    """dk/dv for one kv tile: loop q tiles."""
-    block_k, d = k_ref.shape
-    t = q_ref.shape[0]
-    n_q = t // block_q
-
-    k_blk = k_ref[:]
-    v_blk = v_ref[:]
-
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[pl.ds(i * block_q, block_q), :]
-        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(i * block_q, block_q), :1]
-        delta = delta_ref[pl.ds(i * block_q, block_q), :1]
-
-        s = jax.lax.dot_general(
-            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = jnp.exp(s - lse)  # [block_q, block_k]
-
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(do.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_k, D]
-
-        dp = jax.lax.dot_general(
-            do.astype(v_blk.dtype), v_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)  # [block_q, block_k]
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds.astype(q.dtype), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_k, D]
-        return dk_acc, dv_acc
-
-    dk, dv = jax.lax.fori_loop(
-        0, n_q, body,
-        (jnp.zeros((block_k, d), jnp.float32), jnp.zeros((block_k, d), jnp.float32)),
-    )
-    dk_ref[:] = (dk * sm_scale).astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
@@ -234,8 +208,8 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
     delta128 = jnp.broadcast_to(delta, (B * H, T, 128))
     lse128 = jnp.broadcast_to(lse, (B * H, T, 128))
 
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=block_k, sm_scale=sm_scale),
+    dq, dkf, dvf = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale),
         grid=(B * H, T // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -245,30 +219,24 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-    )(qf, kf, vf, gf, lse128, delta128)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=block_q, sm_scale=sm_scale),
-        grid=(B * H, T // block_k),
-        in_specs=[
-            pl.BlockSpec((None, T, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, D), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, 128), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=[
-            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, T, D), jnp.float32),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * T * T * D,
+            bytes_accessed=2 * 4 * B * H * T * D + 8 * B * H * T * D,
+            transcendentals=B * H * T * T,
+        ),
     )(qf, kf, vf, gf, lse128, delta128)
+    dk = dkf.astype(q.dtype)
+    dv = dvf.astype(q.dtype)
 
     def unfold(x):
         return x.reshape(B, H, T, D).transpose(0, 2, 1, 3)
