@@ -36,6 +36,18 @@ class Sampler:
 
         self._sample = _sample
 
+        @jax.jit
+        def _sample_vec(params, z, text_emb, psi):
+            # psi is a traced per-sample [B] vector — one compiled shape
+            # serves every psi mix (the serving micro-batcher's dispatch).
+            out = self.gen.apply(
+                {"params": params}, z, text_emb,
+                truncation_psi=psi, training=False,
+            )
+            return jnp.clip(out.image, -1.0, 1.0), out.routing
+
+        self._sample_vec = _sample_vec
+
     def encode_text(self, prompt) -> jax.Array:
         if self.clip_params is None:
             from moegan_tpu.models.clip_jax import load_clip_params
@@ -72,6 +84,23 @@ class Sampler:
             return images
         stats = expert_utilization_stats(routing)
         return images, stats
+
+
+    def sample_raw(
+        self,
+        z: jax.Array,          # [N, latent_dim]
+        text_emb: jax.Array,   # [N, text_embedding_dim]
+        psi: jax.Array,        # [N] per-sample truncation
+    ):
+        """One fixed-shape dispatch over a pre-assembled batch (serving
+        micro-batcher path). Returns (images [N,R,R,3] in [-1,1],
+        routing tuple of [N, T_r, E])."""
+        return self._sample_vec(
+            self.g_params,
+            jnp.asarray(z, jnp.float32),
+            jnp.asarray(text_emb, jnp.float32),
+            jnp.asarray(psi, jnp.float32),
+        )
 
 
 def expert_utilization_stats(routing) -> dict:

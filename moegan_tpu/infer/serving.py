@@ -33,7 +33,7 @@ import numpy as np
 
 from moegan_tpu.config import GeneratorConfig
 from moegan_tpu.infer.fid import FIDEvaluator
-from moegan_tpu.infer.sample import Sampler
+from moegan_tpu.infer.sample import Sampler, expert_utilization_stats
 
 MAX_NUM_SAMPLES = 4  # ref inference.py:283 caps at 4
 
@@ -68,16 +68,118 @@ def find_model_file(model_dir: str) -> Optional[str]:
     return None
 
 
+class MicroBatcher:
+    """Dynamic request batching for the TPU generate path.
+
+    Concurrent /generate requests land in a queue; a single dispatcher
+    thread coalesces up to `slots` requests (waiting at most
+    `max_wait_s` after the first) into ONE fixed-shape generator
+    dispatch of slots*samples_per_req images — per-request seeds drive
+    the z slices and a traced per-sample psi vector carries each
+    request's truncation, so every mix of requests reuses one compiled
+    program. Under-full batches are padded (padding slots reuse slot 0's
+    inputs and are discarded). This is the TPU-native replacement for
+    the reference's one-Lambda-invocation-per-request fan-out: batch=1
+    generation leaves the MXU nearly idle, so coalescing multiplies
+    serving throughput at a bounded (max_wait_s) latency cost.
+    """
+
+    def __init__(self, sampler: Sampler, slots: int = 4,
+                 samples_per_req: int = MAX_NUM_SAMPLES,
+                 max_wait_s: float = 0.01):
+        import queue as _queue
+
+        self.sampler = sampler
+        self.slots = slots
+        self.k = samples_per_req
+        self.max_wait = max_wait_s
+        self.dispatches = 0  # observability: jitted calls issued
+        self.requests = 0
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text_emb: np.ndarray, psi: float, seed: int):
+        """Returns (event, box); box['images']/box['routing'] or
+        box['error'] is set when event fires."""
+        ev = threading.Event()
+        box: dict = {}
+        self._q.put((np.asarray(text_emb, np.float32), float(psi), int(seed), ev, box))
+        return ev, box
+
+    def _loop(self):
+        import queue as _queue
+
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.slots:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except _queue.Empty:
+                    break
+            try:
+                self._run(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                for *_, ev, box in batch:
+                    box["error"] = str(e)
+                    ev.set()
+
+    def _run(self, batch):
+        import jax
+
+        R = len(batch)
+        k = self.k
+        emb_dim = batch[0][0].shape[-1]
+        latent = self.sampler.cfg.latent_dim
+
+        embs = np.zeros((self.slots, emb_dim), np.float32)
+        psis = np.full((self.slots,), 1.0, np.float32)
+        zs = np.zeros((self.slots, k, latent), np.float32)
+        for i, (emb, psi, seed, _, _) in enumerate(batch):
+            embs[i] = emb.reshape(-1)[:emb_dim]
+            psis[i] = psi
+            zs[i] = np.asarray(
+                jax.random.normal(jax.random.PRNGKey(seed), (k, latent))
+            )
+        # Padding slots reuse slot 0 (cheap, discarded).
+        for i in range(R, self.slots):
+            embs[i] = embs[0]
+            zs[i] = zs[0]
+
+        text = np.repeat(embs, k, axis=0)              # [slots*k, emb]
+        psi_vec = np.repeat(psis, k, axis=0)           # [slots*k]
+        z = zs.reshape(self.slots * k, latent)
+
+        images, routing = self.sampler.sample_raw(z, text, psi_vec)
+        images = np.asarray(images)
+        self.dispatches += 1
+        self.requests += R
+
+        for i, (_, _, _, ev, box) in enumerate(batch):
+            box["images"] = images[i * k : (i + 1) * k]
+            box["routing"] = tuple(
+                np.asarray(p[i * k : (i + 1) * k]) for p in routing
+            )
+            ev.set()
+
+
 class InferenceHandler:
     """MMS-style handler (ref CustomInferenceHandler + handle, :362-421)."""
 
-    def __init__(self, sampler: Sampler, fid: Optional[FIDEvaluator] = None):
+    def __init__(self, sampler: Sampler, fid: Optional[FIDEvaluator] = None,
+                 batcher: Optional[MicroBatcher] = None):
         self.sampler = sampler
         self.fid = fid
+        self.batcher = batcher
 
     @classmethod
     def from_model_dir(
-        cls, model_dir: str, cfg: Optional[GeneratorConfig] = None, clip_params=None
+        cls, model_dir: str, cfg: Optional[GeneratorConfig] = None, clip_params=None,
+        batching: bool = True,
     ) -> "InferenceHandler":
         from moegan_tpu.utils.checkpoint import load_generator_params
 
@@ -93,7 +195,8 @@ class InferenceHandler:
         sampler = Sampler(cfg, g_params, clip_params)
         # Default extractor = InceptionV3 pool-2048 (reference parity).
         fid = FIDEvaluator(reference_stats_path="reference_stats.npz")
-        return cls(sampler, fid)
+        batcher = MicroBatcher(sampler) if batching else None
+        return cls(sampler, fid, batcher)
 
     def transform_fn(self, request: dict) -> dict:
         """{text, num_samples, truncation_psi, calculate_fid} ->
@@ -105,12 +208,29 @@ class InferenceHandler:
         psi = float(request.get("truncation_psi", 0.7))
         seed = int(request.get("seed", int(time.time()) % (2**31)))
 
-        # Always run the generator at MAX_NUM_SAMPLES and slice: one
-        # compiled shape serves every request (no per-num_samples jit).
-        images, stats = self.sampler(
-            text, MAX_NUM_SAMPLES, psi, seed=seed, return_stats=True
-        )
-        images = np.asarray(images)[:num_samples]
+        if self.batcher is not None:
+            # Dynamic batching: coalesce concurrent requests into one
+            # fixed-shape TPU dispatch (see MicroBatcher).
+            if isinstance(text, str) or (
+                isinstance(text, list) and text and isinstance(text[0], str)
+            ):
+                emb = np.asarray(self.sampler.encode_text(text), np.float32)[0]
+            else:
+                emb = np.asarray(text, np.float32).reshape(-1)
+            ev, box = self.batcher.submit(emb, psi, seed)
+            if not ev.wait(timeout=120.0):
+                raise TimeoutError("generation timed out in the batcher")
+            if "error" in box:
+                raise RuntimeError(box["error"])
+            images = np.asarray(box["images"])[:num_samples]
+            stats = expert_utilization_stats(box["routing"])
+        else:
+            # Always run the generator at MAX_NUM_SAMPLES and slice: one
+            # compiled shape serves every request (no per-num_samples jit).
+            images, stats = self.sampler(
+                text, MAX_NUM_SAMPLES, psi, seed=seed, return_stats=True
+            )
+            images = np.asarray(images)[:num_samples]
         resp = {
             "images": images_to_b64_pngs(images),
             "prompt": text,

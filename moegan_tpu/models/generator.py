@@ -100,10 +100,16 @@ class AuroraGenerator(nn.Module):
         w = run_mapping(jnp.concatenate([z.astype(jnp.float32), text_embeddings], axis=-1))
 
         # Truncation trick toward the zero-input mean latent (ref :799-808).
-        if truncation_psi < 1.0:
+        # truncation_psi may be a traced array (scalar or per-sample [B] —
+        # the serving micro-batcher mixes requests with different psi in
+        # one dispatch); a static float >= 1.0 keeps the no-op fast path.
+        if isinstance(truncation_psi, jax.Array) or truncation_psi < 1.0:
             zeros = jnp.zeros((1, cfg.latent_dim + cfg.text_embedding_dim), jnp.float32)
             mean_latent = jax.lax.stop_gradient(run_mapping(zeros))
-            w = mean_latent + truncation_psi * (w - mean_latent)
+            psi = jnp.asarray(truncation_psi, jnp.float32)
+            if psi.ndim == 1:
+                psi = psi[:, None]
+            w = mean_latent + psi * (w - mean_latent)
 
         constant = self.param(
             "constant", nn.initializers.normal(1.0), (1, 4, 4, cfg.channels[4])
