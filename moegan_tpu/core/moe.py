@@ -81,7 +81,9 @@ class SparseMoE(nn.Module):
         annealing_factor: jax.Array | float = 1.0,
     ):
         """Returns (out [B,T,C], kl scalar, probs [B,T,E])."""
-        if self.use_pallas:
+        if self.use_pallas and self._expert_mesh() is not None:
+            out, probs = self._fused_sharded(x, w, training, annealing_factor)
+        elif self.use_pallas:
             out, probs = self._fused(x, w, training, annealing_factor)
         else:
             probs, _ = self.router(
@@ -92,6 +94,79 @@ class SparseMoE(nn.Module):
 
         kl = self.router.kl_divergence() if training else jnp.zeros((), jnp.float32)
         return out, kl, probs
+
+    def _expert_mesh(self):
+        """The ambient mesh when it carries a >1-sized 'expert' axis."""
+        m = jax.sharding.get_abstract_mesh()
+        if (
+            m is not None
+            and "expert" in m.axis_names
+            and m.shape["expert"] > 1
+            and self.num_experts % m.shape["expert"] == 0
+        ):
+            return m
+        return None
+
+    def _fused_sharded(self, x, w, training, annealing_factor):
+        """Expert-parallel fused path: XLA router + shard_map'd Pallas FFN.
+
+        The router (tiny [T,C]x[C,h]x[h,E] matmuls) runs in plain XLA over
+        the full expert dimension; the heavy FFN+combine runs as the
+        probs-as-input Pallas kernel inside a shard_map over the
+        (data, expert) mesh — each chip computes only its local expert
+        shard's partial sum, and the combine is one psum over the ICI
+        'expert' axis. This keeps the fused-kernel wins under expert
+        parallelism (reference MoE contract: t2i_moe_gan.py:465-491).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        from moegan_tpu.ops.fused_moe import moe_ffn_combine
+
+        mesh = self._expert_mesh()
+        probs, _ = self.router(
+            x, w, sampling=training, hard=not training,
+            annealing_factor=annealing_factor,
+        )
+
+        B, T, C = x.shape
+        cd = self.compute_dtype
+        tokens = x.reshape(B * T, C).astype(cd)
+        pt = probs.reshape(B * T, self.num_experts).astype(jnp.float32)
+
+        # Per-shard token count must tile block_t; pad the global token
+        # axis to a (dp * block_t) multiple (zero probs => zero partials).
+        dp = mesh.shape.get("data", 1)
+        block_t = 256
+        n = tokens.shape[0]
+        quantum = dp * min(block_t, max(n // dp, 1))
+        pad = (-n) % quantum
+        if pad:
+            tokens = jnp.pad(tokens, ((0, pad), (0, 0)))
+            pt = jnp.pad(pt, ((0, pad), (0, 0)))
+
+        def body(tok, p, w1, b1, w2, b2):
+            part = moe_ffn_combine(tok, p, w1, b1, w2, b2, block_t)
+            return jax.lax.psum(part, "expert")
+
+        out = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("data", "expert"),
+                P("expert", None, None),
+                P("expert", None),
+                P("expert", None, None),
+                P("expert", None),
+            ),
+            out_specs=P("data", None),
+        )(
+            tokens, pt,
+            self.w1.astype(cd), self.b1.astype(jnp.float32),
+            self.w2.astype(cd), self.b2.astype(jnp.float32),
+        )
+        out = out[:n].reshape(B, T, C).astype(x.dtype)
+        return out, probs
 
     def _fused(self, x, w, training, annealing_factor):
         """Single fused Pallas kernel: router + dispatch + expert FFN.

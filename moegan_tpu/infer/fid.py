@@ -34,16 +34,27 @@ def gaussian_stats(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _psd_sqrtm(mat: np.ndarray) -> np.ndarray:
     """Matrix square root; scipy sqrtm when available (reference parity),
-    else symmetric-eigendecomposition PSD sqrt."""
+    else symmetric-eigendecomposition PSD sqrt.
+
+    scipy warns loudly on singular products (common with small sample
+    counts); the warning is suppressed and a non-finite result falls
+    through to the eigh path so eval logs stay clean."""
     try:
+        import warnings
+
         from scipy import linalg
 
-        res = linalg.sqrtm(mat)
-        return res[0] if isinstance(res, tuple) else res
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            res = linalg.sqrtm(mat)
+        res = res[0] if isinstance(res, tuple) else res
+        if np.isfinite(res).all():
+            return res
     except Exception:
-        w, v = np.linalg.eigh((mat + mat.T) / 2)
-        w = np.clip(w, 0, None)
-        return (v * np.sqrt(w)) @ v.T
+        pass
+    w, v = np.linalg.eigh((mat + mat.T) / 2)
+    w = np.clip(w, 0, None)
+    return (v * np.sqrt(w)) @ v.T
 
 
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:

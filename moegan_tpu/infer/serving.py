@@ -37,6 +37,18 @@ from moegan_tpu.infer.sample import Sampler, expert_utilization_stats
 
 MAX_NUM_SAMPLES = 4  # ref inference.py:283 caps at 4
 
+# Default-seed stream: the reference seeds from time (inference.py:209
+# analog) which collides for same-second concurrent requests — identical
+# images for identical prompts. A urandom base + atomic counter keeps
+# every request's default seed unique within the process.
+_SEED_BASE = int.from_bytes(os.urandom(4), "little")
+_SEED_COUNTER = __import__("itertools").count()
+
+
+def next_default_seed() -> int:
+    """Process-unique default seed (urandom base + atomic counter)."""
+    return (_SEED_BASE + next(_SEED_COUNTER)) % (2**31)
+
 
 def images_to_b64_pngs(images_m11: np.ndarray) -> list[str]:
     """[-1,1] NHWC float -> list of base64 PNG strings (ref :323-340)."""
@@ -93,6 +105,7 @@ class MicroBatcher:
         self.slots = slots
         self.k = samples_per_req
         self.max_wait = max_wait_s
+        self.emb_dim = int(sampler.cfg.text_embedding_dim)
         self.dispatches = 0  # observability: jitted calls issued
         self.requests = 0
         self._q: "_queue.Queue" = _queue.Queue()
@@ -101,10 +114,18 @@ class MicroBatcher:
 
     def submit(self, text_emb: np.ndarray, psi: float, seed: int):
         """Returns (event, box); box['images']/box['routing'] or
-        box['error'] is set when event fires."""
+        box['error'] is set when event fires.
+
+        The embedding shape is validated HERE (a wrong-sized embedding
+        used to be silently truncated/zero-padded at dispatch time)."""
+        emb = np.asarray(text_emb, np.float32).reshape(-1)
+        if emb.shape[0] != self.emb_dim:
+            raise ValueError(
+                f"text embedding must have {self.emb_dim} dims, got {emb.shape[0]}"
+            )
         ev = threading.Event()
         box: dict = {}
-        self._q.put((np.asarray(text_emb, np.float32), float(psi), int(seed), ev, box))
+        self._q.put((emb, float(psi), int(seed), ev, box))
         return ev, box
 
     def _loop(self):
@@ -133,26 +154,29 @@ class MicroBatcher:
 
         R = len(batch)
         k = self.k
-        emb_dim = batch[0][0].shape[-1]
         latent = self.sampler.cfg.latent_dim
+        # A lone request (idle queue) dispatches at its own shape instead
+        # of paying the full slots*k padding — one extra compiled program,
+        # 4x less compute for the common single-user case.
+        S = self.slots if R > 1 else 1
 
-        embs = np.zeros((self.slots, emb_dim), np.float32)
-        psis = np.full((self.slots,), 1.0, np.float32)
-        zs = np.zeros((self.slots, k, latent), np.float32)
+        embs = np.zeros((S, self.emb_dim), np.float32)
+        psis = np.full((S,), 1.0, np.float32)
+        zs = np.zeros((S, k, latent), np.float32)
         for i, (emb, psi, seed, _, _) in enumerate(batch):
-            embs[i] = emb.reshape(-1)[:emb_dim]
+            embs[i] = emb  # shape validated in submit()
             psis[i] = psi
             zs[i] = np.asarray(
                 jax.random.normal(jax.random.PRNGKey(seed), (k, latent))
             )
         # Padding slots reuse slot 0 (cheap, discarded).
-        for i in range(R, self.slots):
+        for i in range(R, S):
             embs[i] = embs[0]
             zs[i] = zs[0]
 
-        text = np.repeat(embs, k, axis=0)              # [slots*k, emb]
-        psi_vec = np.repeat(psis, k, axis=0)           # [slots*k]
-        z = zs.reshape(self.slots * k, latent)
+        text = np.repeat(embs, k, axis=0)              # [S*k, emb]
+        psi_vec = np.repeat(psis, k, axis=0)           # [S*k]
+        z = zs.reshape(S * k, latent)
 
         images, routing = self.sampler.sample_raw(z, text, psi_vec)
         images = np.asarray(images)
@@ -206,7 +230,8 @@ class InferenceHandler:
             raise ValueError("request must include 'text'")
         num_samples = min(int(request.get("num_samples", 1)), MAX_NUM_SAMPLES)
         psi = float(request.get("truncation_psi", 0.7))
-        seed = int(request.get("seed", int(time.time()) % (2**31)))
+        raw_seed = request.get("seed")
+        seed = int(raw_seed) if raw_seed is not None else next_default_seed()
 
         if self.batcher is not None:
             # Dynamic batching: coalesce concurrent requests into one

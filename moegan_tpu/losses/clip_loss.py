@@ -17,6 +17,15 @@ import jax.numpy as jnp
 from moegan_tpu.models import clip_jax
 
 
+def _cosine_loss(feats: jax.Array, text_embeddings: jax.Array) -> jax.Array:
+    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+    text = text_embeddings.astype(jnp.float32)
+    text = text / (jnp.linalg.norm(text, axis=-1, keepdims=True) + 1e-8)
+    sim = jnp.sum(feats * text, axis=-1)
+    sim = jnp.nan_to_num(sim)  # ref :116
+    return 1.0 - jnp.mean(sim)
+
+
 def clip_loss(
     clip_params,
     images_m11: jax.Array,
@@ -28,12 +37,50 @@ def clip_loss(
     feats = clip_jax.image_features(clip_params, images_m11)
     if stop_gradient:
         feats = jax.lax.stop_gradient(feats)
-    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
-    text = text_embeddings.astype(jnp.float32)
-    text = text / (jnp.linalg.norm(text, axis=-1, keepdims=True) + 1e-8)
-    sim = jnp.sum(feats * text, axis=-1)
-    sim = jnp.nan_to_num(sim)  # ref :116
-    return 1.0 - jnp.mean(sim)
+    return _cosine_loss(feats, text_embeddings)
+
+
+def multi_level_clip_loss(
+    clip_params,
+    images_by_res: dict,
+    text_embeddings: jax.Array,
+    *,
+    stop_gradient: bool = True,
+) -> dict:
+    """Per-resolution CLIP losses from ONE batched ViT forward.
+
+    The reference runs a separate CLIP encode per RGB tap
+    (t2i_moe_gan.py:1385-1387); with 4 taps that is 4 full ViT passes per
+    step. Every tap is resized to 224 anyway, so the taps concatenate on
+    the batch axis into a single [n_taps*B, 224, 224, 3] tower pass —
+    identical per-sample math, ~4x less ViT launch/weight traffic. When
+    gradients flow (stop_gradient=False) the tower is rematerialized
+    (jax.checkpoint) instead of storing 12 layers of activations for the
+    n_taps*B batch.
+
+    Returns {resolution: scalar loss}.
+    """
+    resolutions = sorted(images_by_res)
+    if not resolutions:
+        return {}
+    x = jnp.concatenate(
+        [clip_jax.preprocess_for_clip(images_by_res[r]) for r in resolutions],
+        axis=0,
+    )
+
+    def tower(params, x):
+        return clip_jax.image_features_preprocessed(params, x)
+
+    if stop_gradient:
+        feats = jax.lax.stop_gradient(tower(clip_params, jax.lax.stop_gradient(x)))
+    else:
+        feats = jax.checkpoint(tower)(clip_params, x)
+
+    B = text_embeddings.shape[0]
+    return {
+        r: _cosine_loss(feats[i * B : (i + 1) * B], text_embeddings)
+        for i, r in enumerate(resolutions)
+    }
 
 
 def clip_score(clip_params, images_m11: jax.Array, text_embeddings: jax.Array) -> jax.Array:

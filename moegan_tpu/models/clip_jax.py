@@ -49,6 +49,10 @@ VOCAB_SIZE = 49408
 
 CLIP_WEIGHTS_ENV = "CLIP_WEIGHTS_PATH"
 
+# CLIP uses LayerNorm eps 1e-5 (both the OpenAI package and HF CLIPConfig);
+# flax's 1e-6 default drifts ~1e-5 per block, caught by the torch parity test.
+LN_EPS = 1e-5
+
 
 class QuickGELU(nn.Module):
     @nn.compact
@@ -85,8 +89,8 @@ class ResidualAttentionBlock(nn.Module):
             o = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
             return nn.Dense(W, name="out")(o.reshape(B, T, W).astype(cd))
 
-        x = x + attn(nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x))
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        x = x + attn(nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_1")(x))
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_2")(x)
         h = nn.Dense(4 * W, name="mlp_fc")(h.astype(cd))
         h = QuickGELU()(h)
         h = nn.Dense(W, name="mlp_proj")(h)
@@ -121,12 +125,12 @@ class CLIPImageTower(nn.Module):
             (grid * grid + 1, VISION_WIDTH),
         )
         x = x + pos[None].astype(cd)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_pre")(x)
         for i in range(VISION_LAYERS):
             x = ResidualAttentionBlock(
                 VISION_WIDTH, VISION_HEADS, compute_dtype=cd, name=f"block_{i}"
             )(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(VISION_WIDTH**-0.5), (VISION_WIDTH, EMBED_DIM)
         )
@@ -152,7 +156,7 @@ class CLIPTextTower(nn.Module):
             x = ResidualAttentionBlock(
                 TEXT_WIDTH, TEXT_HEADS, causal=True, compute_dtype=cd, name=f"block_{i}"
             )(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln_final")(x)
         # Take features at the EOS token (highest token id position).
         eos_idx = jnp.argmax(tokens, axis=-1)
         x = jnp.take_along_axis(x, eos_idx[:, None, None], axis=1)[:, 0]
@@ -236,24 +240,33 @@ def init_clip_params(seed: int = 0):
     }
 
 
+def params_from_flat(flat) -> dict:
+    """{'tower/module/param': array} (scripts/convert_clip.py output) ->
+    nested params pytree for the towers."""
+    import flax.traverse_util as tu
+
+    return tu.unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+    )
+
+
 def load_clip_params(path: Optional[str] = None, seed: int = 0):
     """Load converted CLIP params from ``path`` (.npz of flattened arrays
     produced by scripts/convert_clip.py) or fall back to random init."""
     path = path or os.environ.get(CLIP_WEIGHTS_ENV)
     if path and os.path.exists(path):
-        import flax.traverse_util as tu
-
-        flat = dict(np.load(path))
-        nested = tu.unflatten_dict({tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()})
-        return nested
+        return params_from_flat(dict(np.load(path)))
     return init_clip_params(seed)
+
+
+def image_features_preprocessed(params, x: jax.Array) -> jax.Array:
+    """Image tower on already CLIP-normalized 224x224 NHWC input."""
+    return CLIPImageTower().apply({"params": params["image"]}, x)
 
 
 def image_features(params, images_m11: jax.Array) -> jax.Array:
     """CLIP image embeddings for [-1,1] images (any square resolution)."""
-    x = preprocess_for_clip(images_m11)
-    feats = CLIPImageTower().apply({"params": params["image"]}, x)
-    return feats
+    return image_features_preprocessed(params, preprocess_for_clip(images_m11))
 
 
 def text_features(params, tokens: jax.Array) -> jax.Array:

@@ -305,6 +305,7 @@ def features(
     x = _block_c(params, "Mixed_6b", x, cd, fid)
     x = _block_c(params, "Mixed_6c", x, cd, fid)
     x = _block_c(params, "Mixed_6d", x, cd, fid)
+    x = _block_c(params, "Mixed_6e", x, cd, fid)
     x = _block_d(params, "Mixed_7a", x, cd)
     x = _block_e(params, "Mixed_7b", x, cd, fid, max_pool_branch=False)
     x = _block_e(params, "Mixed_7c", x, cd, fid, max_pool_branch=fid)

@@ -617,6 +617,255 @@ def _fused_moe_bwd_pallas(res, dout, dprobs, block_t: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# probs-as-input FFN+combine kernels (the expert-sharded formulation)
+# ---------------------------------------------------------------------------
+#
+# Under expert parallelism the router runs once in XLA (its [T,C]x[C,h] and
+# [h,E] matmuls are noise), producing the full [T, E] probabilities; each
+# chip's shard_map body then receives only its local expert columns of
+# probs and its local shard of the stacked FFN weights, and runs this
+# kernel: per-(tile, local-expert) FFN + prob-weighted partial combine.
+# The cross-chip combine is a psum over the 'expert' mesh axis (see
+# core/moe.py:_fused_sharded). Keeping the router outside the shard_map
+# gives textbook AD semantics: dprobs assembles from per-shard column
+# grads, replicated inputs psum their cotangents — no replicated-output
+# transpose subtleties.
+
+
+def moe_ffn_combine_reference(x, probs, w1, b1, w2, b2):
+    """XLA formulation of sum_e probs[:, e] * FFN_e(x) (backward + fallback)."""
+    cd = x.dtype
+    h = jnp.einsum("tc,ecf->etf", x, w1.astype(cd), preferred_element_type=jnp.float32)
+    h = h + b1[:, None, :].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False).astype(cd)
+    y = jnp.einsum("etf,efc->etc", h, w2.astype(cd), preferred_element_type=jnp.float32)
+    y = y + b2[:, None, :].astype(jnp.float32)
+    out = jnp.einsum("te,etc->tc", probs.astype(jnp.float32), y)
+    return out.astype(x.dtype)
+
+
+def _combine_kernel(x_ref, p_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    """One (token-tile, local-expert) program: out += p_e * FFN_e(x)."""
+    e = pl.program_id(1)
+    x = x_ref[:]
+
+    @pl.when(e == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cd = x.dtype
+    h = jax.lax.dot_general(
+        x, w1_ref[0].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = _exact_gelu(h).astype(cd)
+    y = jax.lax.dot_general(
+        h, w2_ref[0].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + b2_ref[0].astype(jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, p_ref.shape, 1)
+    p_e = jnp.sum(jnp.where(lane == e, p_ref[:], 0.0), axis=-1, keepdims=True)
+    out_ref[:] += (p_e * y).astype(out_ref.dtype)
+
+
+def _combine_bwd_kernel(
+    x_ref, p_ref, w1_ref, b1_ref, w2_ref, b2_ref, dout_ref,
+    dx_ref, dp_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+):
+    """Single-kernel backward of the combine; grid (T_tiles, E), e innermost.
+
+    Same residency story as _bwd_fused_kernel: dx/dp blocks stay in VMEM
+    across the expert loop, weight-grad accumulators are whole-array
+    resident for the full grid (gated by _single_bwd_supported)."""
+    t = pl.program_id(0)
+    e = pl.program_id(1)
+    x = x_ref[:]
+    dout = dout_ref[:].astype(jnp.float32)
+
+    z = jax.lax.dot_general(
+        x, w1_ref[0].astype(x.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    h = _exact_gelu(z).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[0].astype(h.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+
+    @pl.when(e == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dp_ref[:] = jnp.zeros_like(dp_ref)
+
+    @pl.when(jnp.logical_and(t == 0, e == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dp_col = jnp.sum(dout * y, axis=-1, keepdims=True)  # [blk, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dp_ref.shape, 1)
+    dp_ref[:] += jnp.where(lane == e, dp_col, 0.0)
+
+    p_e = jnp.sum(jnp.where(lane == e, p_ref[:].astype(jnp.float32), 0.0),
+                  axis=-1, keepdims=True)
+    dy = p_e * dout  # [blk, C]
+    dh = jax.lax.dot_general(
+        dy.astype(w2_ref.dtype), w2_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, F]
+    dz = dh * _gelu_grad(z)
+
+    dx_ref[:] += jax.lax.dot_general(
+        dz.astype(w1_ref.dtype), w1_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+    dzc = dz.astype(x.dtype)
+    dw1_ref[e] += jax.lax.dot_general(
+        x, dzc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1_ref.dtype)
+    db1_ref[e] += jnp.sum(dz, axis=0, keepdims=True).astype(db1_ref.dtype)
+    dw2_ref[e] += jax.lax.dot_general(
+        h, dy.astype(h.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2_ref.dtype)
+    db2_ref[e] += jnp.sum(dy, axis=0, keepdims=True).astype(db2_ref.dtype)
+
+
+def _combine_fwd_pallas(x, probs, w1, b1, w2, b2, block_t: int):
+    T, C = x.shape
+    E, _, F = w1.shape
+    out = pl.pallas_call(
+        _combine_kernel,
+        grid=(T // block_t, E),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F),
+            transcendentals=T * F * E,
+        ),
+    )(x, probs, w1, b1[:, None, :], w2, b2[:, None, :])
+    return out
+
+
+def _combine_bwd_pallas(res, dout, block_t: int):
+    x, probs, w1, b1, w2, b2 = res
+    T, C = x.shape
+    E, _, F = w1.shape
+    dout = dout.astype(x.dtype)
+
+    outs = pl.pallas_call(
+        _combine_bwd_kernel,
+        grid=(T // block_t, E),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda t, e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t, e: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C, F), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1, F), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, F, C), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 1, C), lambda t, e: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+            jax.ShapeDtypeStruct((E, C, F), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, F), jnp.float32),
+            jax.ShapeDtypeStruct((E, F, C), jnp.float32),
+            jax.ShapeDtypeStruct((E, 1, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F) + 8 * E * 2 * C * F,
+            transcendentals=2 * T * F * E,
+        ),
+    )(x, probs, w1, b1[:, None, :], w2, b2[:, None, :], dout)
+    dx, dp, dw1, db1, dw2, db2 = outs
+    return (
+        dx.astype(x.dtype),
+        dp.astype(probs.dtype),
+        dw1.astype(w1.dtype),
+        db1[:, 0, :].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[:, 0, :].astype(b2.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def moe_ffn_combine(x, probs, w1, b1, w2, b2, block_t: int = 256):
+    """sum_e probs[:, e] * FFN_e(x), fused on TPU.
+
+    Args:
+      x: [T, C] tokens (compute dtype). probs: [T, E] combine weights
+      (fp32; may be a local expert-column shard under shard_map).
+      w1/b1/w2/b2: stacked expert FFN weights [E, C, F]/[E, F]/[E, F, C]/
+      [E, C] — E is the LOCAL expert count when sharded.
+
+    Returns out [T, C] (the per-shard partial when E is a shard).
+    """
+    bt = min(block_t, x.shape[0])
+    if not _pallas_supported(x, bt):
+        return moe_ffn_combine_reference(x, probs, w1, b1, w2, b2)
+    return _combine_fwd_pallas(x, probs, w1, b1, w2, b2, bt)
+
+
+def _combine_vjp_fwd(x, probs, w1, b1, w2, b2, block_t):
+    out = moe_ffn_combine(x, probs, w1, b1, w2, b2, block_t)
+    return out, (x, probs, w1, b1, w2, b2)
+
+
+def _combine_vjp_bwd(block_t, res, dout):
+    import os
+
+    x, probs, w1, b1, w2, b2 = res
+    bt = min(block_t, x.shape[0])
+    E, C, F = w1.shape
+    mode = os.environ.get("MOEGAN_PALLAS_MOE_BWD", "1")
+    if (
+        mode != "0"
+        and _pallas_supported(x, bt)
+        and _single_bwd_supported(C, F, E)
+    ):
+        return _combine_bwd_pallas(res, dout, bt)
+    _, vjp = jax.vjp(moe_ffn_combine_reference, x, probs, w1, b1, w2, b2)
+    return vjp(dout)
+
+
+moe_ffn_combine.defvjp(_combine_vjp_fwd, _combine_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_moe_ffn(
     x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,

@@ -56,10 +56,10 @@ def setup_distributed_training(
         data_axis=cfg.mesh.data_axis,
         expert_axis=cfg.mesh.expert_axis,
     )
-    if ep > 1 and cfg.generator.use_pallas:
-        # The fused MoE kernel computes all experts per chip; under expert
-        # sharding the einsum path (XLA inserts the ICI collectives) wins.
-        cfg = cfg.replace(generator=cfg.generator.replace(use_pallas=False))
+    # use_pallas stays on under expert sharding: SparseMoE detects the
+    # ambient expert axis and switches to the shard_map'd probs-as-input
+    # kernel (core/moe.py:_fused_sharded) — router in XLA, per-chip local
+    # expert FFN in Pallas, psum combine over ICI.
     with jax.sharding.set_mesh(mesh):
         state = create_train_state(cfg, rng, mesh=mesh)
     step_fn, txs = make_train_step(cfg, steps_per_epoch, with_clip=with_clip)

@@ -151,9 +151,33 @@ def train_aurora_gan(
             log.log_vector("expert_top1_per_block", last_metrics["expert_top1"], step)
 
         # ===== validation (ref :1518-1629) =====
-        if val_dataset is not None and len(val_dataset) >= cfg.batch_size:
+        if val_dataset is not None:
+            # A val split smaller than batch_size falls back to a smaller
+            # val batch instead of silently skipping validation (which
+            # would strand the HPO objective); only a truly unusable split
+            # (fewer examples than data-parallel shards) skips, loudly.
+            val_bs = min(cfg.batch_size, len(val_dataset))
+            if mesh is not None:
+                dp = mesh.shape[cfg.mesh.data_axis]
+                val_bs = (val_bs // dp) * dp
+            if val_bs <= 0:
+                log.log_line(
+                    f"WARNING: validation SKIPPED - val split has "
+                    f"{len(val_dataset)} examples, fewer than the "
+                    f"data-parallel shard count; no val metrics this epoch"
+                )
+                val_bs = None
+            elif val_bs < cfg.batch_size:
+                log.log_line(
+                    f"WARNING: val split ({len(val_dataset)}) smaller than "
+                    f"batch_size ({cfg.batch_size}); validating with "
+                    f"batch_size={val_bs}"
+                )
+        else:
+            val_bs = None
+        if val_bs:
             vloader = BatchLoader(
-                val_dataset, cfg.batch_size, shuffle=False, drop_last=True
+                val_dataset, val_bs, shuffle=False, drop_last=True
             )
             sums: dict[str, float] = {}
             n_val = 0
@@ -163,10 +187,9 @@ def train_aurora_gan(
                 # Eval stream folds indices from the top of the uint32 fold
                 # space, disjoint from the train-step stream (step >= 0).
                 vm = eval_fn(state, vbatch, jax.random.fold_in(key, 0xFFFF_FFFF - i), schedule, clip_params)
-                bs = cfg.batch_size
-                n_val += bs
+                n_val += val_bs
                 for k, v in vm.items():
-                    sums[k] = sums.get(k, 0.0) + float(v) * bs
+                    sums[k] = sums.get(k, 0.0) + float(v) * val_bs
             val_metrics = {k: v / n_val for k, v in sums.items()}
             log.log_metrics(val_metrics, step)
             if metric_callback is not None:

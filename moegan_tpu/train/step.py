@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from moegan_tpu.config import TrainConfig
-from moegan_tpu.losses.clip_loss import clip_loss
+from moegan_tpu.losses.clip_loss import multi_level_clip_loss
 from moegan_tpu.losses.gan import (
     discriminator_loss,
     expert_top1_per_block,
@@ -135,16 +135,19 @@ def make_train_step(
             clip_metrics = {}
             g_clip = jnp.zeros((), jnp.float32)
             if with_clip and clip_params is not None:
-                for r, weight in sorted(lcfg.clip_weights.items()):
-                    if r in out.intermediates and weight > 0:
-                        cl = clip_loss(
-                            clip_params,
-                            out.intermediates[r],
-                            text,
-                            stop_gradient=lcfg.clip_stop_gradient,
-                        )
-                        clip_metrics[f"clip_loss_{r}"] = cl
-                        g_clip = g_clip + weight * cl
+                # All RGB taps in ONE batched ViT pass (vs the reference's
+                # per-tap encode, t2i_moe_gan.py:1385-1387).
+                taps = {
+                    r: out.intermediates[r]
+                    for r, weight in lcfg.clip_weights.items()
+                    if r in out.intermediates and weight > 0
+                }
+                for r, cl in multi_level_clip_loss(
+                    clip_params, taps, text,
+                    stop_gradient=lcfg.clip_stop_gradient,
+                ).items():
+                    clip_metrics[f"clip_loss_{r}"] = cl
+                    g_clip = g_clip + lcfg.clip_weights[r] * cl
 
             balance = moe_balance_loss(
                 out.routing,
@@ -228,11 +231,15 @@ def make_eval_step(cfg: TrainConfig, with_clip: bool = True):
             + eff_kl_w * jnp.minimum(out.kl, lcfg.kl_clamp),
         }
         if with_clip and clip_params is not None:
-            for r in sorted(out.intermediates):
-                if r in lcfg.clip_weights:
-                    metrics[f"val_clip_loss_{r}"] = clip_loss(
-                        clip_params, out.intermediates[r], text, stop_gradient=True
-                    )
+            taps = {
+                r: out.intermediates[r]
+                for r in out.intermediates
+                if r in lcfg.clip_weights
+            }
+            for r, cl in multi_level_clip_loss(
+                clip_params, taps, text, stop_gradient=True
+            ).items():
+                metrics[f"val_clip_loss_{r}"] = cl
             top = max(r for r in out.intermediates)
             if f"val_clip_loss_{top}" in metrics:
                 # primary HPO objective (ref :1625)

@@ -67,3 +67,33 @@ def test_clip_score_range(clip_params):
     text = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
     s = float(clip_score(clip_params, imgs, text))
     assert 0.0 <= s <= 100.0
+
+
+def test_multi_level_clip_loss_matches_per_tap(clip_params):
+    """The single batched ViT pass must reproduce per-tap clip_loss values
+    (identical per-sample math, just concatenated on batch)."""
+    from moegan_tpu.losses.clip_loss import clip_loss, multi_level_clip_loss
+
+    k = jax.random.PRNGKey(3)
+    taps = {
+        8: jnp.tanh(jax.random.normal(k, (2, 8, 8, 3))),
+        16: jnp.tanh(jax.random.normal(jax.random.fold_in(k, 1), (2, 16, 16, 3))),
+    }
+    text = jax.random.normal(jax.random.fold_in(k, 2), (2, 512))
+
+    batched = multi_level_clip_loss(clip_params, taps, text, stop_gradient=True)
+    assert set(batched) == {8, 16}
+    for r, imgs in taps.items():
+        want = clip_loss(clip_params, imgs, text, stop_gradient=True)
+        np.testing.assert_allclose(
+            float(batched[r]), float(want), rtol=2e-3, atol=2e-4, err_msg=str(r)
+        )
+
+    # gradient-carrying variant flows to every tap
+    def total(t):
+        losses = multi_level_clip_loss(clip_params, t, text, stop_gradient=False)
+        return sum(losses.values())
+
+    grads = jax.grad(total)(taps)
+    for r, g in grads.items():
+        assert float(jnp.abs(g).sum()) > 0.0, r

@@ -256,6 +256,79 @@ def test_fused_gradients_flow_via_pallas_bwd(moes):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
 
 
+def test_combine_kernel_interpret_matches_reference():
+    """The probs-as-input FFN+combine kernel (the expert-sharded
+    formulation) must match the XLA reference, including with a local
+    expert count smaller than the full E (a shard's view)."""
+    from unittest import mock
+
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, F = 64, 16, 32
+    key = jax.random.PRNGKey(3)
+    real_call = fm.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    for E in (4, 2, 1):  # full, half-shard, single-expert shard
+        ks = jax.random.split(jax.random.fold_in(key, E), 6)
+        x = jax.random.normal(ks[0], (T, C), jnp.float32)
+        probs = jax.nn.softmax(jax.random.normal(ks[1], (T, E)))
+        w1 = jax.random.normal(ks[2], (E, C, F)) * 0.1
+        b1 = jax.random.normal(ks[3], (E, F)) * 0.1
+        w2 = jax.random.normal(ks[4], (E, F, C)) * 0.1
+        b2 = jax.random.normal(ks[5], (E, C)) * 0.1
+
+        with mock.patch.object(fm.pl, "pallas_call", interp_call), \
+             mock.patch.object(fm, "_pallas_supported", lambda x, bt: x.shape[0] % bt == 0):
+            got = fm.moe_ffn_combine(x, probs, w1, b1, w2, b2, 32)
+        want = fm.moe_ffn_combine_reference(x, probs, w1, b1, w2, b2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"E={E}",
+        )
+
+
+def test_combine_backward_matches_xla_vjp():
+    """Single-kernel backward of the combine op vs XLA recompute grads."""
+    from unittest import mock
+
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, E, F = 64, 16, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    probs = jax.nn.softmax(jax.random.normal(ks[1], (T, E)))
+    w1 = jax.random.normal(ks[2], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[3], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[4], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[5], (E, C)) * 0.1
+    dout = jax.random.normal(ks[6], (T, C))
+
+    def loss_ref(*args):
+        return jnp.sum(fm.moe_ffn_combine_reference(*args) * dout)
+
+    want = jax.grad(loss_ref, argnums=tuple(range(6)))(x, probs, w1, b1, w2, b2)
+
+    real_call = fm.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    with mock.patch.object(fm.pl, "pallas_call", interp_call):
+        got = fm._combine_bwd_pallas((x, probs, w1, b1, w2, b2), dout, 32)
+
+    names = ["dx", "dprobs", "dw1", "db1", "dw2", "db2"]
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-5, err_msg=name,
+        )
+
+
 def test_padding_path(moes):
     """Token counts that don't tile still produce correct slices."""
     _, m_fused, params, x, w = moes

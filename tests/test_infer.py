@@ -75,6 +75,57 @@ def test_micro_batcher_coalesces_and_matches_unbatched(sampler):
     np.testing.assert_allclose(np.asarray(imgs), got, rtol=2e-4, atol=2e-4)
 
 
+def test_default_seeds_are_unique():
+    """Concurrent same-prompt requests must not share a default seed (the
+    reference's time-based seed collides within one second)."""
+    import concurrent.futures
+
+    from moegan_tpu.infer.serving import next_default_seed
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        seeds = list(ex.map(lambda _: next_default_seed(), range(2000)))
+    assert len(set(seeds)) == len(seeds)
+    assert all(0 <= s < 2**31 for s in seeds)
+
+
+def test_batcher_rejects_bad_embedding_shape(sampler):
+    from moegan_tpu.infer.serving import MicroBatcher
+
+    b = MicroBatcher(sampler, slots=2, max_wait_s=0.01)
+    with pytest.raises(ValueError, match="512"):
+        b.submit(np.zeros(100, np.float32), 0.7, 1)
+    # and through the handler: error JSON, not a crash
+    from moegan_tpu.infer.serving import InferenceHandler
+
+    h = InferenceHandler(sampler, batcher=b)
+    out = h.handle([{"body": json.dumps({"text": [0.0] * 100})}])
+    assert "error" in json.loads(out[0])
+
+
+def test_lone_request_dispatches_small_shape(sampler):
+    """A single request with an idle queue must not pay the full
+    slots*k padded dispatch."""
+    from moegan_tpu.infer.serving import MAX_NUM_SAMPLES, MicroBatcher
+
+    shapes = []
+    real = sampler.sample_raw
+
+    class Spy:
+        cfg = sampler.cfg
+
+        @staticmethod
+        def sample_raw(z, text, psi):
+            shapes.append(z.shape[0])
+            return real(z, text, psi)
+
+    b = MicroBatcher(Spy(), slots=4, max_wait_s=0.01)
+    emb = np.random.default_rng(0).normal(size=(512,)).astype(np.float32)
+    ev, box = b.submit(emb, 0.7, 123)
+    assert ev.wait(60.0) and "error" not in box
+    assert box["images"].shape == (MAX_NUM_SAMPLES, 16, 16, 3)
+    assert shapes == [MAX_NUM_SAMPLES]  # 1*k, not slots*k
+
+
 def test_handler_batched_transform(sampler):
     from moegan_tpu.infer.serving import InferenceHandler, MicroBatcher
 

@@ -43,6 +43,23 @@ def test_loop_trains_validates_and_checkpoints(tmp_path_factory, data):
     assert int(state2.step) == 3 * (24 // 8)
 
 
+def test_small_val_split_falls_back_instead_of_skipping(data, capsys):
+    """A val split smaller than batch_size must still produce val metrics
+    (round-2 behavior silently skipped validation, stranding the HPO
+    objective)."""
+    ds, _ = data
+    small_val = synthetic_dataset(6, 16, seed=2)  # < batch_size=8
+    calls = []
+    train_aurora_gan(
+        ds, small_val, cfg=CFG.replace(num_epochs=1),
+        metric_callback=lambda e, m: calls.append(dict(m)) or True,
+    )
+    assert calls and {"val_d_loss", "val_g_loss"} <= set(calls[0])
+    assert all(np.isfinite(v) for v in calls[0].values())
+    out = capsys.readouterr().out
+    assert "smaller than" in out and "batch_size=6" in out
+
+
 def test_loop_early_stop(data):
     ds, val = data
     state = train_aurora_gan(

@@ -62,3 +62,54 @@ def test_no_demodulate(setup):
     got = np.asarray(m.apply(params, x, w))
     want = _reference_form(params, x, w, demodulate=False)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_s2d_packed_conv_matches_direct():
+    """MOEGAN_S2D_CONV=1 (space-to-depth packed 3x3 conv) must be
+    numerically identical to the direct conv — forward and gradients."""
+    import os
+    from unittest import mock
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moegan_tpu.core.modconv import ModulatedConv
+
+    mod = ModulatedConv(24, 3, compute_dtype=jnp.float32)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 8, 8, 16))
+    w = jax.random.normal(jax.random.fold_in(k, 1), (2, 512))
+    params = mod.init(k, x, w)
+
+    def loss(p, x, w):
+        out = mod.apply(p, x, w)
+        return jnp.sum(out ** 2), out
+
+    with mock.patch.dict(os.environ, {"MOEGAN_S2D_CONV": "0"}):
+        (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(params, x, w)
+    with mock.patch.dict(os.environ, {"MOEGAN_S2D_CONV": "1"}):
+        (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params, x, w)
+
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        # conv-transpose summation order differs between the two paths
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-4)
+
+
+def test_s2d_gate_heuristics():
+    import os
+    from unittest import mock
+
+    from moegan_tpu.core.modconv import _s2d_wanted
+
+    with mock.patch.dict(os.environ, {"MOEGAN_S2D_CONV": "1"}):
+        assert _s2d_wanted(64, 64, 32, 3)
+        assert not _s2d_wanted(64, 64, 32, 1)   # 1x1 convs stay direct
+        assert not _s2d_wanted(63, 63, 32, 3)   # odd spatial dims
+    with mock.patch.dict(os.environ, {"MOEGAN_S2D_CONV": "0"}):
+        assert not _s2d_wanted(64, 64, 32, 3)
+    with mock.patch.dict(os.environ, {"MOEGAN_S2D_CONV": "auto"}):
+        # CPU backend in tests -> auto never engages
+        assert not _s2d_wanted(64, 64, 32, 3)

@@ -96,3 +96,22 @@ def test_publish_model_metrics(tmp_path):
     loaded = json.load(open(path))
     assert loaded["metrics"]["val_clip_loss"] == pytest.approx(0.8099)
     assert loaded["hyperparameters"]["lr"] == "0.00067"
+
+
+def test_reproduce_baseline_smoke(tmp_path):
+    """The real-data runbook's CI path: synthetic fixture, 1 epoch, must
+    emit the deployment-buildspec metric set (model_metrics.json with
+    d_loss/g_loss/clip_loss_16/clip_loss_8) and the final checkpoint."""
+    sys.path.insert(0, "/root/repo")
+    from scripts.reproduce_baseline import BASELINE_METRICS, main
+
+    out = str(tmp_path / "repro")
+    mm = main(["--synthetic", "--epochs", "1", "--batch_size", "8",
+               "--out_dir", out])
+    assert set(mm["metrics"]) == set(BASELINE_METRICS)
+    data = json.load(open(os.path.join(out, "model_metrics.json")))
+    for k, v in data["metrics"].items():
+        assert v is not None and abs(float(v)) < 1e6, k
+    assert data["reference_metrics"] == BASELINE_METRICS
+    assert data["semantic_clip"] in (True, False)
+    assert os.path.exists(os.path.join(out, "aurora_model_final.msgpack"))
