@@ -61,9 +61,14 @@ class MultiHeadAttention(nn.Module):
         vh = split(v, wv, bv)
 
         if self.use_pallas and qh.shape[1] >= 1024 and qh.shape[1] == kh.shape[1]:
+            import os
+
             from moegan_tpu.ops.flash_attention import flash_attention
 
-            out = flash_attention(qh, kh, vh)
+            # Tile sizes tunable for perf experiments (trace-time env).
+            bq_t = int(os.environ.get("MOEGAN_FLASH_BQ", "256"))
+            bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "512"))
+            out = flash_attention(qh, kh, vh, bq_t, bk_t)
         else:
             # checkpoint: without it XLA saves the fp32 [B,H,T,T] score and
             # prob tensors as backward residuals (67 MB each at T=256/b64 —

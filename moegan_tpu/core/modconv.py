@@ -41,7 +41,15 @@ from moegan_tpu.core import inits
 # MXU utilization at C=32 — a ~4x net win on the conv. Verified exact in
 # tests/test_modconv.py::test_s2d_packed_conv*.
 #
-# MOEGAN_S2D_CONV: "auto" (TPU + C<=64 + H>=32), "1" force, "0" off.
+# Measured end-to-end on the real v5e chip (round 3, b64 flagship bench):
+# s2d ON = 1041 imgs/s vs OFF = 1157 imgs/s. The per-conv MXU win does
+# not survive the surrounding modulate/demodulate elementwise chain (the
+# pack/unpack transposes break XLA's fusion and the conv was not the
+# bottleneck once the v2 MoE kernel landed), so "auto" resolves to OFF.
+# The trick is kept behind MOEGAN_S2D_CONV=1 for wider-channel plans
+# where the conv dominates.
+#
+# MOEGAN_S2D_CONV: "auto" (= off), "1" force on, "0" off.
 
 
 def _space_to_depth(x: jax.Array) -> jax.Array:
@@ -88,7 +96,7 @@ def _s2d_wanted(H: int, W: int, Cin: int, k: int) -> bool:
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "tpu" and Cin <= 64 and H >= 32
+    return False  # auto: measured slower end-to-end on TPU (see above)
 
 
 class ModulatedConv(nn.Module):

@@ -618,6 +618,323 @@ def _fused_moe_bwd_pallas(res, dout, dprobs, block_t: int):
 
 
 # ---------------------------------------------------------------------------
+# v2 kernels: no expert grid — stacked-width matmuls
+# ---------------------------------------------------------------------------
+#
+# Round-3 attribution (scripts/block_bench.py): the v1 (T_tiles, E) grid
+# costs ~15.5 ms fwd+bwd at the res-64 token count — 4096 tiny programs
+# whose [blk,32]x[32,128] matmuls are dwarfed by per-program overhead.
+# v2 collapses the expert loop algebraically:
+#
+#   h_all = x @ [w1_1 .. w1_E]                  [blk, E*F]   (N fully filled)
+#   sum_e p_e*(gelu(h_e) @ w2_e) + p_e*b2_e
+#     = (p_rep * gelu(h_all)) @ [w2_1; ..; w2_E] + p @ b2    (K fully filled)
+#
+# with p_rep = p @ M, M[e, l] = 1{l // F == e} built from iotas (a tiny
+# [blk,E]x[E,E*F] MXU matmul instead of lane gymnastics). One program per
+# token tile, E x fewer programs, E x larger contractions. The backward
+# keeps whole-array [C, E*F] weight-grad accumulators VMEM-resident
+# (same _single_bwd_supported gate, C <= 128 — which covers every block
+# where the MoE time lives). MOEGAN_MOE_KERNEL selects: "auto" (v2 where
+# supported), "v1", "v2".
+
+
+def _expert_mask(E: int, F: int, dtype=jnp.float32):
+    """M [E, E*F]: M[e, l] = 1 if l // F == e."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (E, E * F), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (E, E * F), 1) // F
+    return (rows == cols).astype(dtype)
+
+
+def _fused_moe_kernel_v2(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1s_ref, b1s_ref, w2s_ref, b2s_ref,
+    out_ref, probs_ref, *, num_experts: int, ffn_dim: int, hard: bool,
+):
+    """One token-tile program: router + ALL experts in stacked matmuls."""
+    E, F = num_experts, ffn_dim
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+
+    feat_proj = jax.lax.dot_general(
+        xf, fw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jax.lax.dot_general(
+        feat_proj, cw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (logits + tl_ref[:]) * it_ref[0]
+    probs = _routing_probs(logits, hard)  # [blk, E]
+    probs_ref[:] = probs
+
+    cd = x.dtype
+    z = jax.lax.dot_general(
+        x, w1s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1s_ref[0].astype(jnp.float32)  # [blk, E*F]
+    h = _exact_gelu(z).astype(cd)
+
+    M = _expert_mask(E, F)
+    p_rep = jax.lax.dot_general(
+        probs, M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, E*F]
+    ph = (h.astype(jnp.float32) * p_rep).astype(cd)
+
+    y = jax.lax.dot_general(
+        ph, w2s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jax.lax.dot_general(
+        probs, b2s_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _fused_moe_bwd_kernel_v2(
+    x_ref, fw_ref, cw_ref, tl_ref, it_ref, w1s_ref, b1s_ref, w2s_ref, b2s_ref,
+    dout_ref,
+    dx_ref, dp_ref, dw1s_ref, db1s_ref, dw2s_ref, db2s_ref,
+    *, num_experts: int, ffn_dim: int,
+):
+    """Single-kernel v2 backward; grid (T_tiles,). Weight-grad accumulators
+    whole-array resident; dp here = combine cotangent (router chain in XLA
+    outside, as in the v1 single-kernel backward)."""
+    E, F = num_experts, ffn_dim
+    t = pl.program_id(0)
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+
+    feat_proj = jax.lax.dot_general(
+        xf, fw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jax.lax.dot_general(
+        feat_proj, cw_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = (logits + tl_ref[:]) * it_ref[0]
+    probs = _routing_probs(logits, hard=False)
+
+    cd = x.dtype
+    z = jax.lax.dot_general(
+        x, w1s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1s_ref[0].astype(jnp.float32)
+    h = _exact_gelu(z).astype(cd)
+    hf = h.astype(jnp.float32)
+
+    M = _expert_mask(E, F)
+    p_rep = jax.lax.dot_general(
+        probs, M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ph = (hf * p_rep).astype(cd)
+
+    @pl.when(t == 0)
+    def _():
+        dw1s_ref[:] = jnp.zeros_like(dw1s_ref)
+        db1s_ref[:] = jnp.zeros_like(db1s_ref)
+        dw2s_ref[:] = jnp.zeros_like(dw2s_ref)
+        db2s_ref[:] = jnp.zeros_like(db2s_ref)
+
+    # combine backward
+    d_ph = jax.lax.dot_general(
+        dout.astype(cd), w2s_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, E*F]
+    dh = d_ph * p_rep
+    dp_rep = d_ph * hf
+    # dp[t, e] = sum_{l in block e} dp_rep[t, l]  (+ b2 term below)
+    dp = jax.lax.dot_general(
+        dp_rep, M,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [blk, E]
+    dp = dp + jax.lax.dot_general(
+        dout, b2s_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_ref[:] = dp
+
+    dz = dh * _gelu_grad(z)
+    dx_ref[:] = jax.lax.dot_general(
+        dz.astype(cd), w1s_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+    dzc = dz.astype(cd)
+    dw1s_ref[:] += jax.lax.dot_general(
+        x, dzc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1s_ref.dtype)
+    db1s_ref[:] += jnp.sum(dz, axis=0, keepdims=True).astype(db1s_ref.dtype)
+    dw2s_ref[:] += jax.lax.dot_general(
+        ph, dout.astype(cd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2s_ref.dtype)
+    db2s_ref[:] += jax.lax.dot_general(
+        probs, dout,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(db2s_ref.dtype)
+
+
+def _stack_weights(w1, b1, w2, b2):
+    """[E,C,F]/[E,F]/[E,F,C]/[E,C] -> w1s [C,E*F], b1s [1,E*F],
+    w2s [E*F,C], b2s [E,C] (block layouts matching h_all)."""
+    E, C, F = w1.shape
+    w1s = jnp.transpose(w1, (1, 0, 2)).reshape(C, E * F)
+    b1s = b1.reshape(1, E * F)
+    w2s = w2.reshape(E * F, C)
+    return w1s, b1s, w2s, b2
+
+
+def _fused_moe_pallas_v2(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2,
+                         hard: bool, block_t: int):
+    T, C = x.shape
+    E, _, F = w1.shape
+    hdim = fw.shape[-1]
+    it = jnp.full((1,), inv_temp, jnp.float32)
+    w1s, b1s, w2s, b2s = _stack_weights(
+        w1.astype(x.dtype), b1.astype(jnp.float32),
+        w2.astype(x.dtype), b2.astype(jnp.float32),
+    )
+
+    out, probs = pl.pallas_call(
+        functools.partial(
+            _fused_moe_kernel_v2, num_experts=E, ffn_dim=F, hard=hard
+        ),
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hdim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), x.dtype),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F),
+            transcendentals=T * F * E,
+        ),
+    )(x, fw, cw_f, text_logits, it, w1s, b1s, w2s, b2s)
+    return out, probs
+
+
+def _fused_moe_bwd_v2(res, dout, dprobs, block_t: int):
+    """v2 single-kernel FFN backward + XLA router chain."""
+    x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2 = res
+    T, C = x.shape
+    E, _, F = w1.shape
+    hdim = fw.shape[-1]
+    it = jnp.full((1,), inv_temp, jnp.float32)
+    dout = dout.astype(x.dtype)
+    w1s, b1s, w2s, b2s = _stack_weights(
+        w1.astype(x.dtype), b1.astype(jnp.float32),
+        w2.astype(x.dtype), b2.astype(jnp.float32),
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_fused_moe_bwd_kernel_v2, num_experts=E, ffn_dim=F),
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hdim), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, E), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+            jax.ShapeDtypeStruct((C, E * F), jnp.float32),
+            jax.ShapeDtypeStruct((1, E * F), jnp.float32),
+            jax.ShapeDtypeStruct((E * F, C), jnp.float32),
+            jax.ShapeDtypeStruct((E, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F) + 8 * E * 2 * C * F,
+            transcendentals=2 * T * F * E,
+        ),
+    )(x, fw, cw_f, text_logits, it, w1s, b1s, w2s, b2s, dout)
+    dx_ffn, dp_combine, dw1s, db1s, dw2s, db2s = outs
+
+    dp_total = dprobs.astype(jnp.float32) + dp_combine
+    _, router_vjp = jax.vjp(
+        jax.checkpoint(_router_probs_fn), x, fw, cw_f, text_logits, inv_temp
+    )
+    dx_r, dfw, dcw, dtl, dit = router_vjp(dp_total)
+
+    dx = (dx_ffn + dx_r.astype(jnp.float32)).astype(x.dtype)
+    dw1 = jnp.transpose(dw1s.reshape(C, E, F), (1, 0, 2))
+    return (
+        dx,
+        dfw.astype(fw.dtype),
+        dcw.astype(cw_f.dtype),
+        dtl.astype(text_logits.dtype),
+        jnp.asarray(dit, jnp.float32).reshape(()),
+        dw1.astype(w1.dtype),
+        db1s.reshape(E, F).astype(b1.dtype),
+        dw2s.reshape(E, F, C).astype(w2.dtype),
+        db2s.astype(b2.dtype),
+    )
+
+
+def _v2_wanted(C: int, F: int, E: int) -> bool:
+    import os
+
+    mode = os.environ.get("MOEGAN_MOE_KERNEL", "auto")
+    if mode == "v1":
+        return False
+    # VMEM: bwd holds 2*C*(E*F) fp32 accumulators + bf16 weight copies.
+    return _single_bwd_supported(C, F, E)
+
+
+# ---------------------------------------------------------------------------
 # probs-as-input FFN+combine kernels (the expert-sharded formulation)
 # ---------------------------------------------------------------------------
 #
@@ -823,6 +1140,200 @@ def _combine_bwd_pallas(res, dout, block_t: int):
     )
 
 
+def _combine_kernel_v2(
+    x_ref, p_ref, w1s_ref, b1s_ref, w2s_ref, b2s_ref, out_ref,
+    *, num_experts: int, ffn_dim: int,
+):
+    """v2 combine: one token-tile program, stacked-width matmuls."""
+    E, F = num_experts, ffn_dim
+    x = x_ref[:]
+    probs = p_ref[:].astype(jnp.float32)
+    cd = x.dtype
+
+    z = jax.lax.dot_general(
+        x, w1s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1s_ref[0].astype(jnp.float32)
+    h = _exact_gelu(z).astype(cd)
+
+    M = _expert_mask(E, F)
+    p_rep = jax.lax.dot_general(
+        probs, M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ph = (h.astype(jnp.float32) * p_rep).astype(cd)
+    y = jax.lax.dot_general(
+        ph, w2s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jax.lax.dot_general(
+        probs, b2s_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _combine_bwd_kernel_v2(
+    x_ref, p_ref, w1s_ref, b1s_ref, w2s_ref, b2s_ref, dout_ref,
+    dx_ref, dp_ref, dw1s_ref, db1s_ref, dw2s_ref, db2s_ref,
+    *, num_experts: int, ffn_dim: int,
+):
+    E, F = num_experts, ffn_dim
+    t = pl.program_id(0)
+    x = x_ref[:]
+    probs = p_ref[:].astype(jnp.float32)
+    dout = dout_ref[:].astype(jnp.float32)
+    cd = x.dtype
+
+    z = jax.lax.dot_general(
+        x, w1s_ref[:].astype(cd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1s_ref[0].astype(jnp.float32)
+    h = _exact_gelu(z).astype(cd)
+    hf = h.astype(jnp.float32)
+
+    M = _expert_mask(E, F)
+    p_rep = jax.lax.dot_general(
+        probs, M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ph = (hf * p_rep).astype(cd)
+
+    @pl.when(t == 0)
+    def _():
+        dw1s_ref[:] = jnp.zeros_like(dw1s_ref)
+        db1s_ref[:] = jnp.zeros_like(db1s_ref)
+        dw2s_ref[:] = jnp.zeros_like(dw2s_ref)
+        db2s_ref[:] = jnp.zeros_like(db2s_ref)
+
+    d_ph = jax.lax.dot_general(
+        dout.astype(cd), w2s_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = d_ph * p_rep
+    dp_rep = d_ph * hf
+    dp = jax.lax.dot_general(
+        dp_rep, M,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        dout, b2s_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_ref[:] = dp.astype(dp_ref.dtype)
+
+    dz = dh * _gelu_grad(z)
+    dx_ref[:] = jax.lax.dot_general(
+        dz.astype(cd), w1s_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+    dzc = dz.astype(cd)
+    dw1s_ref[:] += jax.lax.dot_general(
+        x, dzc,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1s_ref.dtype)
+    db1s_ref[:] += jnp.sum(dz, axis=0, keepdims=True).astype(db1s_ref.dtype)
+    dw2s_ref[:] += jax.lax.dot_general(
+        ph, dout.astype(cd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw2s_ref.dtype)
+    db2s_ref[:] += jax.lax.dot_general(
+        probs, dout,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(db2s_ref.dtype)
+
+
+def _combine_fwd_pallas_v2(x, probs, w1, b1, w2, b2, block_t: int):
+    T, C = x.shape
+    E, _, F = w1.shape
+    w1s, b1s, w2s, b2s = _stack_weights(
+        w1.astype(x.dtype), b1.astype(jnp.float32),
+        w2.astype(x.dtype), b2.astype(jnp.float32),
+    )
+    return pl.pallas_call(
+        functools.partial(_combine_kernel_v2, num_experts=E, ffn_dim=F),
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * C * F * E,
+            bytes_accessed=2 * (T * C + E * 2 * C * F),
+            transcendentals=T * F * E,
+        ),
+    )(x, probs, w1s, b1s, w2s, b2s)
+
+
+def _combine_bwd_pallas_v2(res, dout, block_t: int):
+    x, probs, w1, b1, w2, b2 = res
+    T, C = x.shape
+    E, _, F = w1.shape
+    dout = dout.astype(x.dtype)
+    w1s, b1s, w2s, b2s = _stack_weights(
+        w1.astype(x.dtype), b1.astype(jnp.float32),
+        w2.astype(x.dtype), b2.astype(jnp.float32),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_combine_bwd_kernel_v2, num_experts=E, ffn_dim=F),
+        grid=(T // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_t, E), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E * F), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E * F, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, E), jnp.float32),
+            jax.ShapeDtypeStruct((C, E * F), jnp.float32),
+            jax.ShapeDtypeStruct((1, E * F), jnp.float32),
+            jax.ShapeDtypeStruct((E * F, C), jnp.float32),
+            jax.ShapeDtypeStruct((E, C), jnp.float32),
+        ],
+    )(x, probs, w1s, b1s, w2s, b2s, dout)
+    dx, dp, dw1s, db1s, dw2s, db2s = outs
+    dw1 = jnp.transpose(dw1s.reshape(C, E, F), (1, 0, 2))
+    return (
+        dx.astype(x.dtype),
+        dp.astype(probs.dtype),
+        dw1.astype(w1.dtype),
+        db1s.reshape(E, F).astype(b1.dtype),
+        dw2s.reshape(E, F, C).astype(w2.dtype),
+        db2s.astype(b2.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def moe_ffn_combine(x, probs, w1, b1, w2, b2, block_t: int = 256):
     """sum_e probs[:, e] * FFN_e(x), fused on TPU.
@@ -838,6 +1349,10 @@ def moe_ffn_combine(x, probs, w1, b1, w2, b2, block_t: int = 256):
     bt = min(block_t, x.shape[0])
     if not _pallas_supported(x, bt):
         return moe_ffn_combine_reference(x, probs, w1, b1, w2, b2)
+    E, _, F = w1.shape
+    C = x.shape[1]
+    if _v2_wanted(C, F, E):
+        return _combine_fwd_pallas_v2(x, probs, w1, b1, w2, b2, bt)
     return _combine_fwd_pallas(x, probs, w1, b1, w2, b2, bt)
 
 
@@ -858,6 +1373,8 @@ def _combine_vjp_bwd(block_t, res, dout):
         and _pallas_supported(x, bt)
         and _single_bwd_supported(C, F, E)
     ):
+        if _v2_wanted(C, F, E):
+            return _combine_bwd_pallas_v2(res, dout, bt)
         return _combine_bwd_pallas(res, dout, bt)
     _, vjp = jax.vjp(moe_ffn_combine_reference, x, probs, w1, b1, w2, b2)
     return vjp(dout)
@@ -899,6 +1416,11 @@ def _fused_impl(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_
     block_t = min(block_t, x.shape[0])
     if not _pallas_supported(x, block_t):
         return moe_ffn_reference(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard)
+    E, C, F = w1.shape
+    if _v2_wanted(C, F, E):
+        return _fused_moe_pallas_v2(
+            x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t
+        )
     return _fused_moe_pallas(x, fw, cw_f, text_logits, inv_temp, w1, b1, w2, b2, hard, block_t)
 
 
@@ -925,9 +1447,12 @@ def _fused_bwd(hard, block_t, res, g):
     if not hard and _pallas_supported(x, bt) and mode in ("1", "3"):
         E, C, F = w1.shape
         if mode == "1":
-            # Single-kernel where the accumulators fit VMEM; XLA recompute
+            # v2 (no expert grid, stacked-width matmuls) where it fits
+            # VMEM; v1 single-kernel as fallback preference; XLA recompute
             # elsewhere (the 3-kernel path measured slower than XLA on the
             # big-C blocks, and compiling it wastes minutes of Mosaic time).
+            if _v2_wanted(C, F, E):
+                return _fused_moe_bwd_v2(res, dout, dprobs, bt)
             if _single_bwd_supported(C, F, E):
                 return _fused_moe_bwd_single(res, dout, dprobs, bt)
         else:

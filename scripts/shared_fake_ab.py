@@ -14,7 +14,9 @@ Writes runs/shared_fake_ab/{shared,ref}/metrics.jsonl + samples.png and an
 overlay report ab_report.json with per-epoch val losses and final expert
 utilization for both arms.
 
-Usage: python scripts/shared_fake_ab.py [epochs=20]
+Usage: python scripts/shared_fake_ab.py [epochs=20] [seed=0]
+Seeds >0 write runs/shared_fake_ab/{shared,ref}_s{seed}/ and
+ab_report_s{seed}.json so the A/B can be repeated for seed robustness.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import sys
 import numpy as np
 
 
-def run_arm(out_dir: str, shared: bool, epochs: int):
+def run_arm(out_dir: str, shared: bool, epochs: int, seed: int = 0):
     from moegan_tpu.cli.generate_images import save_grid
     from moegan_tpu.config import (
         DiscriminatorConfig,
@@ -56,7 +58,7 @@ def run_arm(out_dir: str, shared: bool, epochs: int):
         beta1=0.8821,
         beta2=0.9386,
         log_interval=8,
-        seed=0,  # identical data order + step rngs in both arms
+        seed=seed,  # identical data order + step rngs in both arms
         shared_fake=shared,
     )
     ds = synthetic_dataset(512, 16, seed=0)
@@ -93,10 +95,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     base = os.path.join(repo, "runs", "shared_fake_ab")
+    sfx = "" if seed == 0 else f"_s{seed}"
 
-    hist_s, util_s = run_arm(os.path.join(base, "shared"), True, epochs)
-    hist_r, util_r = run_arm(os.path.join(base, "ref"), False, epochs)
+    hist_s, util_s = run_arm(os.path.join(base, "shared" + sfx), True, epochs, seed)
+    hist_r, util_r = run_arm(os.path.join(base, "ref" + sfx), False, epochs, seed)
 
     def final_gap(a, b, key):
         va = [h[key] for h in a if key in h]
@@ -110,6 +114,7 @@ def main():
         }
 
     report = {
+        "seed": seed,
         "epochs": epochs,
         "arms": {"shared": "shared_fake=True (1 G fwd/step)",
                  "ref": "shared_fake=False (reference: fresh fake per phase)"},
@@ -120,7 +125,7 @@ def main():
         "history_shared": hist_s,
         "history_ref": hist_r,
     }
-    with open(os.path.join(base, "ab_report.json"), "w") as f:
+    with open(os.path.join(base, f"ab_report{sfx}.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: report[k] for k in ("val_d_loss", "val_g_loss")}, indent=2))
     print(f"A/B artifacts in {base}")

@@ -334,3 +334,112 @@ def test_padding_path(moes):
     _, m_fused, params, x, w = moes
     out, _, probs = m_fused.apply(params, x, w, training=False)
     assert out.shape == (2, 9, 8) and probs.shape == (2, 9, 4)
+
+
+def _interp_patch(fm):
+    from unittest import mock
+
+    real_call = fm.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return real_call(*a, **kw)
+
+    return mock.patch.object(fm.pl, "pallas_call", interp_call)
+
+
+def test_v2_forward_matches_reference():
+    """The v2 fused kernel (no expert grid, stacked-width matmuls) must
+    reproduce the reference math, soft and hard."""
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, H, E, F = 64, 16, 8, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    fw = jax.random.normal(ks[1], (C, H)) * 0.1
+    cw = jax.random.normal(ks[2], (H, E)) * 0.1
+    tl = jax.random.normal(ks[3], (T, E)) * 0.1
+    w1 = jax.random.normal(ks[4], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[5], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[6], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[7], (E, C)) * 0.1
+
+    for hard in (False, True):
+        with _interp_patch(fm):
+            out, probs = fm._fused_moe_pallas_v2(
+                x, fw, cw, tl, 0.5, w1, b1, w2, b2, hard, 32
+            )
+        want_out, want_probs = fm.moe_ffn_reference(
+            x, fw, cw, tl, 0.5, w1, b1, w2, b2, hard
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(want_probs), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want_out), rtol=1e-4, atol=1e-5,
+            err_msg=f"hard={hard}")
+
+
+def test_v2_backward_matches_xla_vjp():
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, H, E, F = 64, 16, 8, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(1), 10)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    fw = jax.random.normal(ks[1], (C, H)) * 0.1
+    cw = jax.random.normal(ks[2], (H, E)) * 0.1
+    tl = jax.random.normal(ks[3], (T, E)) * 0.1
+    it = jnp.float32(0.5)
+    w1 = jax.random.normal(ks[4], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[5], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[6], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[7], (E, C)) * 0.1
+    dout = jax.random.normal(ks[8], (T, C))
+    dprobs = jax.random.normal(ks[9], (T, E)) * 0.1
+
+    def loss_ref(*args):
+        out, probs = fm.moe_ffn_reference(*args, False)
+        return jnp.sum(out * dout) + jnp.sum(probs * dprobs)
+
+    want = jax.grad(loss_ref, argnums=tuple(range(9)))(
+        x, fw, cw, tl, it, w1, b1, w2, b2
+    )
+    with _interp_patch(fm):
+        got = fm._fused_moe_bwd_v2(
+            (x, fw, cw, tl, it, w1, b1, w2, b2), dout, dprobs, 32
+        )
+    names = ["dx", "dfw", "dcw", "dtl", "dit", "dw1", "db1", "dw2", "db2"]
+    for name, a, b in zip(names, got, want):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32).reshape(np.shape(b)),
+            np.asarray(b, np.float32), rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_combine_v2_matches_reference_fwd_and_bwd():
+    import moegan_tpu.ops.fused_moe as fm
+
+    T, C, E, F = 64, 16, 2, 32  # E=2: a local expert shard's view
+    ks = jax.random.split(jax.random.PRNGKey(2), 7)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    probs = jax.nn.softmax(jax.random.normal(ks[1], (T, E)))
+    w1 = jax.random.normal(ks[2], (E, C, F)) * 0.1
+    b1 = jax.random.normal(ks[3], (E, F)) * 0.1
+    w2 = jax.random.normal(ks[4], (E, F, C)) * 0.1
+    b2 = jax.random.normal(ks[5], (E, C)) * 0.1
+    dout = jax.random.normal(ks[6], (T, C))
+
+    with _interp_patch(fm):
+        got = fm._combine_fwd_pallas_v2(x, probs, w1, b1, w2, b2, 32)
+    want = fm.moe_ffn_combine_reference(x, probs, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_ref(*args):
+        return jnp.sum(fm.moe_ffn_combine_reference(*args) * dout)
+
+    want_g = jax.grad(loss_ref, argnums=tuple(range(6)))(x, probs, w1, b1, w2, b2)
+    with _interp_patch(fm):
+        got_g = fm._combine_bwd_pallas_v2((x, probs, w1, b1, w2, b2), dout, 32)
+    for name, a, b in zip(["dx", "dp", "dw1", "db1", "dw2", "db2"], got_g, want_g):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-5, err_msg=name)

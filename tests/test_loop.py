@@ -56,8 +56,9 @@ def test_small_val_split_falls_back_instead_of_skipping(data, capsys):
     )
     assert calls and {"val_d_loss", "val_g_loss"} <= set(calls[0])
     assert all(np.isfinite(v) for v in calls[0].values())
-    out = capsys.readouterr().out
-    assert "smaller than" in out and "batch_size=6" in out
+    cap = capsys.readouterr()
+    streams = cap.out + cap.err
+    assert "smaller than" in streams and "batch_size=6" in streams
 
 
 def test_loop_early_stop(data):
