@@ -44,6 +44,10 @@ def main():
                     "default: at 64x64 on v5e the recompute costs more than "
                     "the HBM it saves — see README perf table)")
     ap.add_argument("--no-remat", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--shared-fake", action="store_true",
+                    help="one G forward per step (speed mode; default is the "
+                         "reference-exact fresh fake per phase — see "
+                         "runs/shared_fake_ab/ab_summary.json)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable Pallas kernels (XLA einsum MoE + chunked attention)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
@@ -89,6 +93,7 @@ def main():
         mesh=MeshConfig(expert_parallelism=0),
         steps_per_epoch=1000,
         batch_size=args.batch,
+        shared_fake=args.shared_fake,
     )
     key = jax.random.PRNGKey(0)
     n_chips = len(jax.devices())

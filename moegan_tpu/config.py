@@ -213,12 +213,16 @@ class TrainConfig(_JsonMixin):
     log_interval: int = 10
     seed: int = 0
     steps_per_epoch: int | None = None  # derived from the dataset if None
-    # One generator forward per step, reused by the D phase via
-    # stop_gradient (the standard GAN pattern) — saves ~a fifth of the
-    # step. False regenerates the fake per phase with an independent
+    # False (default) regenerates the fake per phase with an independent
     # Bayesian weight sample, reproducing the reference exactly
-    # (t2i_moe_gan.py:1292, :1358).
-    shared_fake: bool = True
+    # (t2i_moe_gan.py:1292, :1358). True runs ONE generator forward per
+    # step and feeds the D phase stop_gradient(fake) — ~20% faster, but a
+    # 3-seed convergence A/B (scripts/shared_fake_ab.py,
+    # runs/shared_fake_ab/ab_summary.json) measured consistently worse
+    # generator convergence (last-5-epoch val_g_loss 3.51 vs 2.56, gap
+    # 7x the reference arm's seed noise; val_d_loss identical), so the
+    # speed mode is opt-in.
+    shared_fake: bool = False
     loss: LossConfig = field(default_factory=LossConfig)
     generator: GeneratorConfig = field(default_factory=GeneratorConfig)
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)

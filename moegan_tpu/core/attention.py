@@ -66,8 +66,11 @@ class MultiHeadAttention(nn.Module):
             from moegan_tpu.ops.flash_attention import flash_attention
 
             # Tile sizes tunable for perf experiments (trace-time env).
+            # block_k default 1024: measured 1206.9 vs 1142.6 imgs/s at the
+            # b64 flagship bench (round-3 sweep, runs/r3_tpu_log3.txt) —
+            # halving the KV-loop trip count beats the smaller VMEM tile.
             bq_t = int(os.environ.get("MOEGAN_FLASH_BQ", "256"))
-            bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "512"))
+            bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "1024"))
             out = flash_attention(qh, kh, vh, bq_t, bk_t)
         else:
             # checkpoint: without it XLA saves the fp32 [B,H,T,T] score and

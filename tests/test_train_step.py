@@ -53,15 +53,17 @@ def test_d_learns_on_fixed_batch(setup):
     np.testing.assert_allclose(util.sum(axis=-1), 1.0, atol=1e-3)
 
 
-def test_reference_parity_double_generation_mode(setup):
-    """shared_fake=False regenerates the fake per phase (reference
-    :1292/:1358 semantics). Both modes must train; with identical rngs
-    the G-phase gradients agree because the G forward uses the same
-    router stream either way — only the D phase's fake differs."""
+def test_shared_fake_speed_mode(setup):
+    """shared_fake=True (opt-in speed mode) runs ONE generator forward
+    per step and feeds D stop_gradient(fake); the default (False)
+    regenerates the fake per phase with an independent Bayesian weight
+    sample, reproducing the reference exactly (:1292/:1358). Both modes
+    must train; the convergence A/B that made False the default lives in
+    runs/shared_fake_ab/ab_summary.json."""
     _, batch, key = setup
     import dataclasses
 
-    cfg2 = dataclasses.replace(CFG, shared_fake=False)
+    cfg2 = dataclasses.replace(CFG, shared_fake=True)
     step2, _ = make_train_step(cfg2, 20, with_clip=False)
     state = create_train_state(cfg2, key)
     first = None
