@@ -105,10 +105,17 @@ class GeneratorConfig(_JsonMixin):
         return tuple(res)
 
     def heads_for(self, dim: int) -> int:
-        # Reference always uses 8 heads (head_dim >= 16 at its widths). For
-        # the new narrow 32/64-res blocks keep head_dim >= 32 so the MXU
-        # sees reasonable contraction sizes.
+        # At the reference's own block widths (dim >= 128, i.e. every block
+        # its 16x16 regime instantiates) use its exact head count
+        # (AttentionBlock heads=8, :497) so attention math is
+        # reference-identical. The narrow 32/64-res blocks are OUR ladder
+        # extension (the reference stubs them, :1019-1024); there 8 heads
+        # would mean head_dim 4-8 — a ~5% MXU shape floor on every
+        # attention matmul — so heads halve until head_dim >= 32
+        # (param shapes are head-count independent: packed QKV is [D, D]).
         h = self.attn_heads
+        if dim >= 128:
+            return h
         while h > 1 and dim // h < 32:
             h //= 2
         return max(h, 1)

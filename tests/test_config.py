@@ -29,9 +29,13 @@ def test_generator_resolutions_and_heads():
     g = GeneratorConfig(max_resolution=64)
     assert g.resolutions() == (4, 8, 16, 32, 64)
     assert GeneratorConfig(max_resolution=16).resolutions() == (4, 8, 16)
-    # 8 heads at wide blocks (reference), fewer when head_dim would be < 32
+    # Reference-exact 8 heads at every width the reference's 16x16 regime
+    # instantiates (dim >= 128, head_dim >= 16); our narrow 32/64-res
+    # ladder-extension blocks halve heads until head_dim >= 32 (MXU
+    # contraction fill — head count does not change param shapes).
     assert g.heads_for(512) == 8
-    assert g.heads_for(128) == 4
+    assert g.heads_for(256) == 8
+    assert g.heads_for(128) == 8
     assert g.heads_for(64) == 2
     assert g.heads_for(32) == 1
 
