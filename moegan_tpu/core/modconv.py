@@ -151,7 +151,16 @@ class ModulatedConv(nn.Module):
             x = jax.image.resize(x, (b, 2 * h, 2 * ww_, c), method="bilinear")
 
         pad = k // 2
-        if _s2d_wanted(x.shape[1], x.shape[2], in_channels, k):
+        if k == 1:
+            # 1x1 conv as a plain channel matmul (x[..., Ci] @ W[Ci, Co]).
+            # Going through conv_general_dilated here invites TPU conv
+            # layout assignment that conflicts with the neighboring Pallas
+            # custom-call operands (which pin default layouts) — the round-3
+            # HLO traffic ranking showed 33 MB layout-transpose copies
+            # bracketing the attention proj convs at res 64. A dot keeps
+            # the default layout and fuses with the style/demod scalings.
+            out = x @ weight[0, 0].astype(cd)
+        elif _s2d_wanted(x.shape[1], x.shape[2], in_channels, k):
             # Narrow-channel path: identical math at 4x channel width so
             # the MXU tiles fill (see module docstring).
             out = _depth_to_space(

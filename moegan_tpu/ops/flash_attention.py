@@ -42,11 +42,15 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, sm_scale: float):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
-    lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used).
+    lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used),
+    or None for the primal-only variant (inference / gradient-free
+    forwards — e.g. the D-phase fresh fake — skip the 4-byte-per-row
+    lse write entirely, which at [BH, T, 128] fp32 tiling is a 134 MB
+    HBM buffer at the 64x64 flagship shapes).
     """
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
@@ -85,10 +89,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, sm_scale: 
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
-    lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape)
+    if lse_ref is not None:
+        lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape)
 
 
 def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = False):
+    """with_lse=True additionally returns the [BH, T, 128] lane-broadcast
+    logsumexp, which the backward consumes AS-IS (no slice/re-broadcast
+    round-trip through HBM)."""
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
 
@@ -98,32 +106,44 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     grid = (B * H, T // block_q)
+    in_specs = [
+        pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * B * H * T * T * D,
+        bytes_accessed=(4 * B * H * T * D) * 2,
+        transcendentals=B * H * T * T,
+    )
+    if not with_lse:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
+            cost_estimate=cost,
+        )(qf, kf, vf)
+        return out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            o_spec,
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * T * T * D,
-            bytes_accessed=(4 * B * H * T * D) * 2,
-            transcendentals=B * H * T * T,
-        ),
+        cost_estimate=cost,
     )(qf, kf, vf)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
-    if with_lse:
-        return out, lse[:, :, :1]  # [BH, T, 1]
-    return out
+    return out, lse  # lse: [BH, T, 128] lane-broadcast
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +151,7 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 # ---------------------------------------------------------------------------
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, block_k: int, sm_scale: float):
     """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
     dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
@@ -139,7 +159,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     backward had in round 1). dk/dv outputs are whole-[T,D] fp32 blocks
     indexed by bh only, so they stay VMEM-resident across the inner
     q-tile loop: zeroed at i==0, accumulated via sublane slices, cast
-    outside."""
+    outside. lse arrives as the forward's lane-broadcast output
+    (col 0 used) and delta_i = sum_d(do*o) is computed HERE from the o
+    tile — materializing it in XLA cost a [BH, T, 128] fp32 HBM
+    round-trip per attention."""
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
     n_kv = t // block_k
@@ -148,7 +171,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
     lse = lse_ref[:, :1]
-    delta = delta_ref[:, :1]
+    delta = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
 
     @pl.when(i == 0)
     def _():
@@ -203,10 +226,6 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
 
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
-    # delta_i = sum_d(do * o), broadcast over 128 lanes for tiling.
-    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
-    delta128 = jnp.broadcast_to(delta, (B * H, T, 128))
-    lse128 = jnp.broadcast_to(lse, (B * H, T, 128))
 
     dq, dkf, dvf = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale),
@@ -216,7 +235,7 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
             pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -234,7 +253,7 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
             bytes_accessed=2 * 4 * B * H * T * D + 8 * B * H * T * D,
             transcendentals=B * H * T * T,
         ),
-    )(qf, kf, vf, gf, lse128, delta128)
+    )(qf, kf, vf, gf, of, lse)
     dk = dkf.astype(q.dtype)
     dv = dvf.astype(q.dtype)
 
@@ -255,9 +274,16 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
 
     Falls back to the chunked XLA path when shapes don't tile or when not
     running on TPU (e.g. CPU tests).
+
+    The primal (this function — what runs in inference and in
+    gradient-free forwards like the D-phase fresh fake) uses the
+    no-lse kernel variant; only the VJP forward rule pays the lse write.
     """
-    out, _ = _flash_impl(q, k, v, block_q, block_k)
-    return out
+    block_q = min(block_q, q.shape[1])
+    block_k = min(block_k, k.shape[1])
+    if not _supported(q, block_q, block_k):
+        return chunked_attention(q, k, v)
+    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k, with_lse=False)
 
 
 def _supported(q, block_q, block_k) -> bool:
@@ -267,17 +293,14 @@ def _supported(q, block_q, block_k) -> bool:
     return T % block_q == 0 and T % block_k == 0 and D % 8 == 0 and D <= 256
 
 
-def _flash_impl(q, k, v, block_q, block_k):
+def _flash_fwd_rule(q, k, v, block_q, block_k):
+    """VJP forward: also emits the lane-broadcast lse ([BH, T, 128]) the
+    fused backward consumes directly (lse=None marks the fallback path)."""
     block_q = min(block_q, q.shape[1])
     block_k = min(block_k, k.shape[1])
     if not _supported(q, block_q, block_k):
-        return chunked_attention(q, k, v), None
+        return chunked_attention(q, k, v), (q, k, v, None, None)
     out, lse = _flash_forward(q, k, v, block_q=block_q, block_k=block_k, with_lse=True)
-    return out, lse
-
-
-def _flash_fwd_rule(q, k, v, block_q, block_k):
-    out, lse = _flash_impl(q, k, v, block_q, block_k)
     return out, (q, k, v, out, lse)
 
 

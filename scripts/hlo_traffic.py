@@ -128,8 +128,19 @@ def main():
             for k, v in sorted(family.items(), key=lambda kv: -kv[1])[:12]
         },
     }))
+    src_re = re.compile(
+        r'op_name="([^"]*)"|source_file="([^"]*)"|source_line=(\d+)'
+    )
     for b, op, name, line in per_op[: args.top]:
-        print(f"{b/1e6:10.1f} MB  {op:20s} {line[:180]}")
+        op_name = src = sline = ""
+        for m in src_re.finditer(line):
+            op_name = m.group(1) or op_name
+            src = m.group(2) or src
+            sline = m.group(3) or sline
+        loc = f"{src.rsplit('/', 1)[-1]}:{sline}" if src else ""
+        print(f"{b/1e6:10.1f} MB  {op:20s} {line[:110]}")
+        if op_name or loc:
+            print(f"{'':14s} -> {op_name[:130]}  [{loc}]")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,27 @@ def test_matches_per_sample_weight_conv(setup):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_1x1_matmul_path_matches_reference(setup):
+    """kernel_size=1 takes the channel-matmul fast path (no conv op);
+    must still equal the per-sample-weight formulation exactly."""
+    _, _, x, w = setup
+    k = jax.random.PRNGKey(7)
+    m1 = ModulatedConv(out_channels=6, kernel_size=1, compute_dtype=jnp.float32)
+    params1 = m1.init(k, x, w)
+    got = np.asarray(m1.apply(params1, x, w))
+
+    p = params1["params"]
+    weight = np.asarray(p["weight"])  # [1, 1, cin, cout]
+    style = np.asarray(w) @ np.asarray(p["mod_kernel"]) + np.asarray(p["mod_bias"])
+    want = np.zeros(got.shape, np.float32)
+    for b in range(x.shape[0]):
+        wb = weight * style[b][None, None, :, None]
+        d = 1.0 / np.sqrt((wb**2).sum(axis=(0, 1, 2)) + 1e-8)
+        wb = wb * d[None, None, None, :]
+        want[b] = np.einsum("hwc,co->hwo", np.asarray(x)[b], wb[0, 0])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_upsample_doubles_spatial(setup):
     _, params, x, w = setup
     m2 = ModulatedConv(out_channels=6, kernel_size=3, upsample=True, compute_dtype=jnp.float32)
