@@ -56,9 +56,22 @@ class MultiHeadAttention(nn.Module):
             B, T, _ = y.shape
             return y.reshape(B, T, H, hd)
 
-        qh = split(q, wq, bq)
-        kh = split(k, wk, bk)
-        vh = split(v, wv, bv)
+        if q is k and k is v:
+            # Self-attention: one [D, 3D] matmul instead of three [D, D]
+            # (params stay separate — concat is trace-time). At the narrow
+            # block widths (D=32/64) a [*, D]@[D, D] fills a quarter of
+            # the 128-lane MXU output tile; 3x the width fills 3x more and
+            # reads the activations once instead of three times.
+            wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(cd)
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(cd)
+            y = q.astype(cd) @ wqkv + bqkv
+            B, T, _ = y.shape
+            yh = y.reshape(B, T, 3, H, hd)
+            qh, kh, vh = yh[:, :, 0], yh[:, :, 1], yh[:, :, 2]
+        else:
+            qh = split(q, wq, bq)
+            kh = split(k, wk, bk)
+            vh = split(v, wv, bv)
 
         if self.use_pallas and qh.shape[1] >= 1024 and qh.shape[1] == kh.shape[1]:
             import os

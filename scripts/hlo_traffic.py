@@ -105,11 +105,20 @@ def main():
 
     per_op = []
     family = defaultdict(int)
+    op_re = re.compile(r"\s([a-z][a-z0-9\-]*)\(")  # first op-style token(
     for line in entry_lines:
-        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\))|(?:\S+))\s*([\w\-]+)\(", line)
+        m = re.match(r"(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*", line)
         if not m:
             continue
-        name, shape_s, op = m.group(1), m.group(2), m.group(3)
+        name = m.group(1)
+        rest = line[m.end():]
+        # The output shape may be a tuple with nested parens from layout
+        # annotations (T(8,128), S(1)); the op mnemonic is the first
+        # lowercase word directly followed by '(' after the shape.
+        om = op_re.search(rest)
+        if not om:
+            continue
+        shape_s, op = rest[: om.start()], om.group(1)
         if op in ("parameter", "constant", "get-tuple-element", "tuple", "bitcast"):
             continue
         out_bytes = sum(shape_bytes(s) for s in SHAPE_RE.finditer(shape_s))
