@@ -73,15 +73,20 @@ class MultiHeadAttention(nn.Module):
             kh = split(k, wk, bk)
             vh = split(v, wv, bv)
 
-        if self.use_pallas and qh.shape[1] >= 1024 and qh.shape[1] == kh.shape[1]:
-            import os
+        import os
 
+        min_t = int(os.environ.get("MOEGAN_FLASH_MIN_T", "256"))
+        if self.use_pallas and qh.shape[1] >= min_t and qh.shape[1] == kh.shape[1]:
             from moegan_tpu.ops.flash_attention import flash_attention
 
             # Tile sizes tunable for perf experiments (trace-time env).
             # block_k default 1024: measured 1206.9 vs 1142.6 imgs/s at the
             # b64 flagship bench (round-3 sweep, runs/r3_tpu_log3.txt) —
             # halving the KV-loop trip count beats the smaller VMEM tile.
+            # MIN_T 256: with the reference-exact 8 heads at dim 128 the
+            # res-16 XLA path materializes fp32 [B,8,256,256] score/prob
+            # tensors (134 MB at b64) per pass; the flash kernel keeps
+            # them in VMEM even at T=256.
             bq_t = int(os.environ.get("MOEGAN_FLASH_BQ", "256"))
             bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "1024"))
             out = flash_attention(qh, kh, vh, bq_t, bk_t)

@@ -151,7 +151,7 @@ class ModulatedConv(nn.Module):
             x = jax.image.resize(x, (b, 2 * h, 2 * ww_, c), method="bilinear")
 
         pad = k // 2
-        if k == 1:
+        if k == 1 and os.environ.get("MOEGAN_1X1_MATMUL", "1") != "0":
             # 1x1 conv as a plain channel matmul (x[..., Ci] @ W[Ci, Co]).
             # Going through conv_general_dilated here invites TPU conv
             # layout assignment that conflicts with the neighboring Pallas
