@@ -14,6 +14,8 @@ matrix matters.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -56,24 +58,26 @@ class MultiHeadAttention(nn.Module):
             B, T, _ = y.shape
             return y.reshape(B, T, H, hd)
 
-        if q is k and k is v:
+        if q is k and k is v and os.environ.get("MOEGAN_FUSED_QKV", "1") != "0":
             # Self-attention: one [D, 3D] matmul instead of three [D, D]
             # (params stay separate — concat is trace-time). At the narrow
             # block widths (D=32/64) a [*, D]@[D, D] fills a quarter of
             # the 128-lane MXU output tile; 3x the width fills 3x more and
-            # reads the activations once instead of three times.
+            # reads the activations once instead of three times. The split
+            # is three LAST-DIM slices (a [B,T,3,H,hd] reshape+index here
+            # cost two 50 MB layout-transpose copies in the compiled step,
+            # round-3 HLO ranking).
             wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(cd)
             bqkv = jnp.concatenate([bq, bk, bv]).astype(cd)
             y = q.astype(cd) @ wqkv + bqkv
             B, T, _ = y.shape
-            yh = y.reshape(B, T, 3, H, hd)
-            qh, kh, vh = yh[:, :, 0], yh[:, :, 1], yh[:, :, 2]
+            qh = y[..., :D].reshape(B, T, H, hd)
+            kh = y[..., D : 2 * D].reshape(B, T, H, hd)
+            vh = y[..., 2 * D :].reshape(B, T, H, hd)
         else:
             qh = split(q, wq, bq)
             kh = split(k, wk, bk)
             vh = split(v, wv, bv)
-
-        import os
 
         min_t = int(os.environ.get("MOEGAN_FLASH_MIN_T", "256"))
         if self.use_pallas and qh.shape[1] >= min_t and qh.shape[1] == kh.shape[1]:
