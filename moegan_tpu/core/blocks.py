@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from moegan_tpu.core.attention import AttentionBlock
 from moegan_tpu.core.modconv import ModulatedConv
 from moegan_tpu.core.mtm import ModulatedTransformationModule
+from moegan_tpu.core.upsample import upsample2x_bilinear
 
 
 class ConvolutionBlock(nn.Module):
@@ -59,8 +60,7 @@ class GenerativeBlock(nn.Module):
     ):
         # NOTE: `training` stays positional so nn.remat can mark it static.
         if self.upsample:
-            b, h, ww_, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * ww_, c), method="bilinear")
+            x = upsample2x_bilinear(x)
         x = ConvolutionBlock(
             self.out_channels, self.use_offset, self.compute_dtype, name="conv_block"
         )(x, w)

@@ -147,8 +147,9 @@ class ModulatedConv(nn.Module):
         x = x.astype(cd) * style[:, None, None, :].astype(cd)
 
         if self.upsample:
-            b, h, ww_, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * ww_, c), method="bilinear")
+            from moegan_tpu.core.upsample import upsample2x_bilinear
+
+            x = upsample2x_bilinear(x)
 
         pad = k // 2
         if k == 1 and os.environ.get("MOEGAN_1X1_MATMUL", "1") != "0":
