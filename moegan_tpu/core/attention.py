@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from moegan_tpu.core import inits
 from moegan_tpu.core.modconv import ModulatedConv
 from moegan_tpu.core.moe import SparseMoE
+from moegan_tpu.ops.fused_layernorm import FusedLayerNorm
 
 
 def _xavier_uniform():
@@ -144,7 +145,10 @@ class AttentionBlock(nn.Module):
         tokens = x_in.reshape(B, T, C)
 
         # Self-attention (pre-norm, residual bypasses the norm; ref :545-547).
-        xn = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tokens)
+        # FusedLayerNorm: torch-eps (1e-5) parity + single-pass Pallas LN
+        # (the XLA path materialized fp32 + lane-transposed copies of the
+        # token stream per norm — HLO traffic ranking, round 3).
+        xn = FusedLayerNorm(use_pallas=self.use_pallas, name="norm1")(tokens)
         tokens = tokens + MultiHeadAttention(
             C, self.heads, self.compute_dtype, self.use_pallas, name="self_attn"
         )(xn, xn, xn)
@@ -156,14 +160,14 @@ class AttentionBlock(nn.Module):
             bias_init=inits.torch_linear_bias(self.text_dim),
             name="text_proj",
         )(text_seq)
-        xn = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tokens)
+        xn = FusedLayerNorm(use_pallas=self.use_pallas, name="norm2")(tokens)
         tokens = tokens + MultiHeadAttention(
             C, self.heads, self.compute_dtype, False, name="cross_attn"
         )(xn, tproj, tproj)
 
         # SparseMoE FFN on normalized tokens, residual on the un-normalized
         # stream (ref :561-571).
-        xn = nn.LayerNorm(dtype=jnp.float32, name="norm3")(tokens)
+        xn = FusedLayerNorm(use_pallas=self.use_pallas, name="norm3")(tokens)
         moe_out, kl, probs = SparseMoE(
             dim=C,
             text_dim=w.shape[-1],

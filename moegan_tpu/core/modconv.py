@@ -152,14 +152,14 @@ class ModulatedConv(nn.Module):
             x = upsample2x_bilinear(x)
 
         pad = k // 2
-        if k == 1 and os.environ.get("MOEGAN_1X1_MATMUL", "1") != "0":
-            # 1x1 conv as a plain channel matmul (x[..., Ci] @ W[Ci, Co]).
-            # Going through conv_general_dilated here invites TPU conv
-            # layout assignment that conflicts with the neighboring Pallas
-            # custom-call operands (which pin default layouts) — the round-3
-            # HLO traffic ranking showed 33 MB layout-transpose copies
-            # bracketing the attention proj convs at res 64. A dot keeps
-            # the default layout and fuses with the style/demod scalings.
+        if k == 1 and os.environ.get("MOEGAN_1X1_MATMUL", "0") == "1":
+            # 1x1 conv as a plain channel matmul — tried to avoid the
+            # 33 MB layout-transpose copies the HLO ranking showed around
+            # the attention proj convs, but measured a consistent ~4% LOSS
+            # at the b64 flagship (909 vs 946 imgs/s, chain7/8 bisection
+            # runs/r3_tpu_log7.txt,log8.txt): XLA's TPU conv emitter beats
+            # the dot + the copies it saves. Kept opt-in for re-testing on
+            # future toolchains.
             out = x @ weight[0, 0].astype(cd)
         elif _s2d_wanted(x.shape[1], x.shape[2], in_channels, k):
             # Narrow-channel path: identical math at 4x channel width so

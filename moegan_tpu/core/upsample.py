@@ -12,9 +12,14 @@ t2i_moe_gan.py:176-178,634-640) the kernel is a fixed two-tap filter:
     out[2i+1] = 0.75*a[i]   + 0.25*a[i+1]
 
 applied separably over H then W — pure elementwise adds + an interleave
-reshape, no MXU, fully fusable, channels stay on the minor axis.
-Matches jax.image.resize to float tolerance (tests/test_blocks_upsample.py).
-MOEGAN_FAST_UPSAMPLE=0 reverts to jax.image.resize.
+reshape, no MXU, channels stay on the minor axis. Matches
+jax.image.resize bit-exactly in bf16 (tests/test_upsample.py).
+
+On-hardware verdict (chain8 bisection): the two-tap path LOST ~4% at
+the b64 flagship, so jax.image.resize stays the default and
+MOEGAN_FAST_UPSAMPLE=1 opts in. Kept because the measurement, the
+bit-exact test, and the trick itself are useful on other shapes and
+future toolchains.
 """
 
 from __future__ import annotations
@@ -51,8 +56,15 @@ def _up2_axis(x: jax.Array, axis: int) -> jax.Array:
 
 
 def upsample2x_bilinear(x: jax.Array) -> jax.Array:
-    """[B, H, W, C] -> [B, 2H, 2W, C], bilinear, half-pixel centers."""
-    if os.environ.get("MOEGAN_FAST_UPSAMPLE", "1") == "0":
+    """[B, H, W, C] -> [B, 2H, 2W, C], bilinear, half-pixel centers.
+
+    Default = jax.image.resize: the two-tap rewrite measured a ~4% LOSS
+    at the b64 flagship (909 vs 935-947 imgs/s, chain8 bisection,
+    runs/r3_tpu_log8.txt) — the interleave reshape costs more than the
+    resize dots it replaced. MOEGAN_FAST_UPSAMPLE=1 re-enables the
+    two-tap path (bit-exact, tests/test_upsample.py) for future
+    toolchains."""
+    if os.environ.get("MOEGAN_FAST_UPSAMPLE", "0") != "1":
         b, h, w, c = x.shape
         return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
     dt = x.dtype

@@ -66,7 +66,9 @@ class AuroraGenerator(nn.Module):
             bias_init=inits.torch_linear_bias(cfg.text_embedding_dim),
             name="text_proj_1",
         )
-        tp_ln = nn.LayerNorm(dtype=jnp.float32, name="text_proj_ln")
+        # torch nn.LayerNorm eps parity (1e-5; flax defaults to 1e-6).
+        # Tiny [B, 512] input — the XLA path is fine, no fused kernel.
+        tp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="text_proj_ln")
         tp2 = nn.Dense(
             cfg.text_embedding_dim,
             kernel_init=inits.torch_linear_kernel(),
