@@ -191,7 +191,15 @@ class FusedLayerNorm(nn.Module):
     flax's default is 1e-6, a quiet divergence this class also fixes for
     the fallback path. Output is in the input dtype (the consumers cast
     to bf16 anyway; under reference AMP semantics downstream ops run
-    bf16 too). MOEGAN_FUSED_LN=0 forces the XLA path.
+    bf16 too).
+
+    On-hardware verdict (chain9 A/B, runs/r3_tpu_log9.txt): the Pallas
+    LN kernel LOST 8% at the b64 flagship (910 vs 992 imgs/s) — the
+    custom-call boundary costs more scheduling/fusion than the fp32
+    copies it saves. XLA LN is therefore the default;
+    MOEGAN_FUSED_LN=1 opts the kernel back in. Net round-3 kernel rule:
+    Pallas wins where there's MXU work to fuse around (MoE FFN, flash
+    attention), loses on pure elementwise/reduction ops at these sizes.
     """
 
     epsilon: float = 1e-5
@@ -202,6 +210,6 @@ class FusedLayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if self.use_pallas and os.environ.get("MOEGAN_FUSED_LN", "1") != "0":
+        if self.use_pallas and os.environ.get("MOEGAN_FUSED_LN", "0") == "1":
             return fused_layer_norm(x, scale, bias, self.epsilon)
         return _xla_ln(x, scale, bias, self.epsilon)
