@@ -120,6 +120,13 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=0, help="override (0 = pinned 9)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--expert_parallelism", type=int, default=0)
+    ap.add_argument("--single_device", action="store_true",
+                    help="skip the device mesh (one-device step). The CI "
+                    "smoke test uses this: on a 1-core host the 8-virtual-"
+                    "device CPU mesh's collective rendezvous (hard 40 s "
+                    "timeout in XLA:CPU) aborts under load; sharded-step "
+                    "coverage lives in tests/test_sharding.py and "
+                    "__graft_entry__.dryrun_multichip.")
     args = ap.parse_args(argv)
 
     from moegan_tpu.data.datasets import ProcessedMSCOCODataset, synthetic_dataset
@@ -164,7 +171,7 @@ def main(argv=None):
     state = train_aurora_gan(
         ds, val, cfg=cfg, clip_params=clip_params,
         metric_callback=callback, save_dir=os.path.join(args.out_dir, "ckpt"),
-        logger=logger,
+        logger=logger, distributed=not args.single_device,
     )
 
     final = history[-1] if history else {}
