@@ -495,12 +495,22 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
 
 
 # Weight-grad accumulators (E*(C*F + F*C) fp32) must fit VMEM alongside
-# the working set; 4 MB keeps C<=128/F=512/E=4 in and C>=256 out on v5e.
+# the working set; 4 MB keeps C<=128/F=512/E=4 in and C>=256 out on v5e
+# (the C=256/F=1024 res-8 block would need ~8.4 MB of accumulators and
+# falls back to the XLA-recompute backward). MOEGAN_MOE_BWD_VMEM_MB
+# raises the budget for on-hardware trials — v5e scoped VMEM is 16 MB,
+# so ~10 may compile for C=256; bench before adopting.
 _SINGLE_BWD_VMEM_BYTES = 4 * 1024 * 1024
 
 
 def _single_bwd_supported(C: int, F: int, E: int) -> bool:
-    return 2 * E * C * F * 4 <= _SINGLE_BWD_VMEM_BYTES
+    import os
+
+    budget = _SINGLE_BWD_VMEM_BYTES
+    mb = os.environ.get("MOEGAN_MOE_BWD_VMEM_MB")
+    if mb:
+        budget = int(float(mb) * 1024 * 1024)
+    return 2 * E * C * F * 4 <= budget
 
 
 def _router_probs_fn(x, fw, cw_f, text_logits, inv_temp):
