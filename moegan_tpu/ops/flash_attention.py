@@ -42,15 +42,18 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, sm_scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
+                sm_scale: float, compact_lse: bool = False):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
     lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used),
-    or None for the primal-only variant (inference / gradient-free
-    forwards — e.g. the D-phase fresh fake — skip the 4-byte-per-row
-    lse write entirely, which at [BH, T, 128] fp32 tiling is a 134 MB
-    HBM buffer at the 64x64 flagship shapes).
+    or [block_q//128, 128] when compact_lse (a sublane->lane relayout in
+    VMEM — 128x less HBM for the residual), or None for the primal-only
+    variant (inference / gradient-free forwards — e.g. the D-phase fresh
+    fake — skip the 4-byte-per-row lse write entirely, which at
+    [BH, T, 128] fp32 tiling is a 134 MB HBM buffer at the 64x64
+    flagship shapes).
     """
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
@@ -90,13 +93,31 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int, sm_sc
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[:] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape)
+        lse = m + jnp.log(l)  # [block_q, 1]
+        if compact_lse:
+            lse_ref[:] = lse.reshape(lse_ref.shape)
+        else:
+            lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+def _compact_lse_wanted(block_q: int) -> bool:
+    """Compact [BH, T//128, 128] lse storage (vs lane-broadcast
+    [BH, T, 128]): 128x less residual HBM, at the cost of a
+    sublane<->lane relayout inside the kernels. Default OFF pending an
+    on-hardware A/B (scripts/r3_tpu_chain10.sh probes the relayout;
+    every "obvious" win this round was benched before adoption)."""
+    import os
+
+    return (
+        os.environ.get("MOEGAN_FLASH_COMPACT_LSE", "0") == "1"
+        and block_q % 128 == 0
+    )
 
 
 def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = False):
-    """with_lse=True additionally returns the [BH, T, 128] lane-broadcast
-    logsumexp, which the backward consumes AS-IS (no slice/re-broadcast
-    round-trip through HBM)."""
+    """with_lse=True additionally returns the logsumexp in the layout the
+    backward consumes AS-IS (no slice/re-broadcast round-trip through
+    HBM): [BH, T, 128] lane-broadcast, or [BH, T//128, 128] compact."""
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
 
@@ -128,22 +149,29 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
         )(qf, kf, vf)
         return out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
 
+    compact = _compact_lse_wanted(block_q)
+    if compact:
+        lse_spec = pl.BlockSpec(
+            (None, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        lse_shape = jax.ShapeDtypeStruct((B * H, T // 128, 128), jnp.float32)
+    else:
+        lse_spec = pl.BlockSpec(
+            (None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        lse_shape = jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+        functools.partial(
+            _fwd_kernel, block_k=block_k, sm_scale=sm_scale, compact_lse=compact
+        ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            o_spec,
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32),
-        ],
+        out_specs=[o_spec, lse_spec],
+        out_shape=[jax.ShapeDtypeStruct((B * H, T, D), q.dtype), lse_shape],
         cost_estimate=cost,
     )(qf, kf, vf)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
-    return out, lse  # lse: [BH, T, 128] lane-broadcast
+    return out, lse
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +180,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                      dq_ref, dk_ref, dv_ref, *, block_k: int, sm_scale: float):
+                      dq_ref, dk_ref, dv_ref, *, block_k: int,
+                      sm_scale: float, compact_lse: bool = False):
     """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
     dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
     twice and fetched q/k/v/do twice — the same inefficiency the MoE
@@ -170,7 +199,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
-    lse = lse_ref[:, :1]
+    if compact_lse:
+        lse = lse_ref[:].reshape(block_q, 1)
+    else:
+        lse = lse_ref[:, :1]
     delta = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
 
     @pl.when(i == 0)
@@ -227,8 +259,23 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
 
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
 
+    # lse layout is whatever the forward saved: [BH, T, 128]
+    # lane-broadcast or [BH, T//128, 128] compact (shape-detected so the
+    # pair can never disagree).
+    compact = lse.shape[1] != T
+    if compact:
+        lse_spec = pl.BlockSpec(
+            (None, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        lse_spec = pl.BlockSpec(
+            (None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+
     dq, dkf, dvf = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale),
+        functools.partial(
+            _bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale, compact_lse=compact
+        ),
         grid=(B * H, T // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -236,7 +283,7 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
             pl.BlockSpec((None, T, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            lse_spec,
         ],
         out_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

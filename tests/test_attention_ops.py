@@ -94,3 +94,33 @@ def test_flash_backward_kernels_interpret(qkv):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
         )
+
+
+def test_flash_compact_lse_interpret(monkeypatch):
+    """MOEGAN_FLASH_COMPACT_LSE=1 stores the logsumexp residual as
+    [BH, T//128, 128] (sublane->lane relayout in-kernel) instead of the
+    128x-padded lane-broadcast; forward AND gradients must be unchanged."""
+    monkeypatch.setenv("MOEGAN_FLASH_COMPACT_LSE", "1")
+    k = jax.random.PRNGKey(3)
+    shape = (2, 256, 1, 16)  # T=256, block_q=256 -> compact gate active
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 256, 128) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive(q, k, v) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, kk, v, 256, 128)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, kk, v)), rtol=2e-5, atol=2e-5
+    )
+    g2 = jax.grad(loss_naive, argnums=(0, 1, 2))(q, kk, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
