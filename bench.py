@@ -55,6 +55,29 @@ def main():
     # remat is opt-in since round 2 (--no-remat kept for back-compat).
     args.no_remat = not args.remat
 
+    # Distinguish a dead TPU tunnel from a code failure BEFORE importing
+    # jax (axon backend init hangs forever on a dead tunnel). A tunnel
+    # outage prints a JSON marker line and exits rc=3 so BENCH_r*.json
+    # records "backend unreachable", not "bench.py broken".
+    if not args.cpu and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        import urllib.request
+
+        try:
+            urllib.request.urlopen("http://127.0.0.1:8093/health", timeout=10)
+        except Exception as e:
+            print(
+                json.dumps(
+                    {
+                        "metric": "imgs/sec/chip (64x64 G+D train step)",
+                        "value": 0,
+                        "unit": "imgs/sec/chip",
+                        "vs_baseline": 0,
+                        "error": f"tpu_backend_unreachable: {e}",
+                    }
+                )
+            )
+            raise SystemExit(3)
+
     import jax
 
     cache_dir = os.environ.get(

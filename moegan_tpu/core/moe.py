@@ -133,13 +133,26 @@ class SparseMoE(nn.Module):
         tokens = x.reshape(B * T, C).astype(cd)
         pt = probs.reshape(B * T, self.num_experts).astype(jnp.float32)
 
-        # Per-shard token count must tile block_t; pad the global token
-        # axis to a (dp * block_t) multiple (zero probs => zero partials).
+        # Per-shard token count must tile block_t for the Pallas kernel
+        # (ops/fused_moe._pallas_supported requires T % block_t == 0), so
+        # pad the global token axis to a (dp * block_t) multiple — zero
+        # probs => zero partials, so padding is exact. For small inputs
+        # shrink block_t to one 16-row-aligned tile per shard (16 = bf16
+        # sublane tile) instead of padding to 256, keeping the kernel
+        # engaged without an 8x pad blowup.
         dp = mesh.shape.get("data", 1)
-        block_t = 256
         n = tokens.shape[0]
-        quantum = dp * min(block_t, max(n // dp, 1))
+        per = -(-n // dp)  # ceil per-shard token count
+        block_t = 256 if per >= 256 else max(16, -(-per // 16) * 16)
+        quantum = dp * block_t
         pad = (-n) % quantum
+        if C % 8:  # the only remaining silent-fallback trigger on TPU
+            import warnings
+
+            warnings.warn(
+                f"expert-sharded MoE with C={C} (not a multiple of 8) falls "
+                "back to the XLA einsum path inside shard_map"
+            )
         if pad:
             tokens = jnp.pad(tokens, ((0, pad), (0, 0)))
             pt = jnp.pad(pt, ((0, pad), (0, 0)))

@@ -128,6 +128,18 @@ class MicroBatcher:
         self._q.put((emb, float(psi), int(seed), ev, box))
         return ev, box
 
+    def prewarm(self):
+        """Compile BOTH dispatch shapes (S=1 lone-request fast path and
+        S=slots coalesced path) before accepting traffic, so neither the
+        first lone request nor the first full batch pays a mid-serving
+        XLA compile."""
+        latent = int(self.sampler.cfg.latent_dim)
+        for S in sorted({1, self.slots}):
+            z = np.zeros((S * self.k, latent), np.float32)
+            text = np.zeros((S * self.k, self.emb_dim), np.float32)
+            psi = np.full((S * self.k,), 1.0, np.float32)
+            self.sampler.sample_raw(z, text, psi)
+
     def _loop(self):
         import queue as _queue
 
@@ -422,6 +434,9 @@ def make_server(
 
 def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8080, metrics=None):
     handler = InferenceHandler.from_model_dir(model_dir)
+    if handler.batcher is not None:
+        print("prewarming dispatch shapes (S=1, S=slots)...")
+        handler.batcher.prewarm()
     server = make_server(handler, metrics=metrics, host=host, port=port)
     print(f"serving on http://{host}:{port}")
     server.serve_forever()

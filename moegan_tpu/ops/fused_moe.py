@@ -503,14 +503,35 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
 _SINGLE_BWD_VMEM_BYTES = 4 * 1024 * 1024
 
 
-def _single_bwd_supported(C: int, F: int, E: int) -> bool:
-    import os
+_BWD_BUDGET_CACHE: dict = {}
 
-    budget = _SINGLE_BWD_VMEM_BYTES
+
+def _bwd_vmem_budget() -> int:
+    """VMEM budget for the single-kernel backward, with the env override.
+
+    Parsed once per distinct env value (cached); a malformed value warns
+    and falls back to the default instead of raising at trace time.
+    """
+    import os
+    import warnings
+
     mb = os.environ.get("MOEGAN_MOE_BWD_VMEM_MB")
-    if mb:
-        budget = int(float(mb) * 1024 * 1024)
-    return 2 * E * C * F * 4 <= budget
+    if mb not in _BWD_BUDGET_CACHE:
+        budget = _SINGLE_BWD_VMEM_BYTES
+        if mb:
+            try:
+                budget = int(float(mb) * 1024 * 1024)
+            except ValueError:
+                warnings.warn(
+                    f"MOEGAN_MOE_BWD_VMEM_MB={mb!r} is not a number; "
+                    f"using the default {_SINGLE_BWD_VMEM_BYTES >> 20} MB"
+                )
+        _BWD_BUDGET_CACHE[mb] = budget
+    return _BWD_BUDGET_CACHE[mb]
+
+
+def _single_bwd_supported(C: int, F: int, E: int) -> bool:
+    return 2 * E * C * F * 4 <= _bwd_vmem_budget()
 
 
 def _router_probs_fn(x, fw, cw_f, text_logits, inv_temp):
@@ -940,7 +961,13 @@ def _v2_wanted(C: int, F: int, E: int) -> bool:
     mode = os.environ.get("MOEGAN_MOE_KERNEL", "auto")
     if mode == "v1":
         return False
-    # VMEM: bwd holds 2*C*(E*F) fp32 accumulators + bf16 weight copies.
+    if mode == "v2":
+        # Explicit override: force v2 even past the VMEM gate (the point
+        # of the flag is on-hardware trials; a too-big accumulator set
+        # fails at Mosaic compile time with a clear VMEM error).
+        return True
+    # auto: v2 only where the single-kernel backward's 2*C*(E*F) fp32
+    # accumulators (+ bf16 weight copies) fit the VMEM budget.
     return _single_bwd_supported(C, F, E)
 
 

@@ -20,6 +20,38 @@ import orbax.checkpoint as ocp
 
 from moegan_tpu.train.state import TrainState
 
+# Model-math version, bumped whenever a change alters outputs WITHOUT
+# changing param shapes (so old checkpoints load cleanly but silently
+# produce different numbers). History:
+#   1 — rounds 1-2.
+#   2 — round 3: heads_for(dim>=128) 4->8, LayerNorm eps 1e-6->1e-5
+#       (reference-parity fixes, PARITY.md), where-select NaN skip
+#       (changes the optimizer-state tree vs apply_if_finite).
+# Stored as a sidecar file (not inside the orbax tree) so restoring
+# pre-versioning checkpoints keeps working.
+MODEL_MATH_VERSION = 2
+_VERSION_FILE = "model_math_version.txt"
+
+
+def _warn_if_math_mismatch(ckpt_dir: str):
+    import warnings
+
+    vf = os.path.join(ckpt_dir, _VERSION_FILE)
+    found = None
+    if os.path.exists(vf):
+        try:
+            with open(vf) as f:
+                found = int(f.read().strip())
+        except ValueError:
+            pass
+    if found != MODEL_MATH_VERSION:
+        warnings.warn(
+            f"checkpoint at {ckpt_dir} was written with model-math version "
+            f"{found} (current: {MODEL_MATH_VERSION}); param shapes match "
+            "but outputs/metrics are not comparable across versions — see "
+            "utils/checkpoint.py MODEL_MATH_VERSION history"
+        )
+
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
@@ -41,6 +73,8 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, *, max_to_keep
     mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()
+    with open(os.path.join(ckpt_dir, _VERSION_FILE), "w") as f:
+        f.write(f"{MODEL_MATH_VERSION}\n")
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
@@ -60,6 +94,7 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[TrainState, in
     if step is None:
         mgr.close()
         return state, 0
+    _warn_if_math_mismatch(ckpt_dir)
     skeleton = {
         "generator": state.g_params,
         "discriminator": state.d_params,
