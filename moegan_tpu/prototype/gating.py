@@ -126,14 +126,14 @@ def hamiltonian_monte_carlo(
 
 def predict_expert(
     gating, params, text_embedding, rng, *, threshold: float = 0.7,
-    num_samples: int = 75, burn_in: int = 200,
+    num_samples: int = 75, burn_in: int = 200, step_size: float = 0.003,
 ):
     """Expert selection with confidence threshold (ref :414-446):
     experts above threshold, else the argmax. Returns
     (selected_experts, mean_probs, uncertainty)."""
     mean_probs, uncertainty, _ = hamiltonian_monte_carlo(
         gating, params, text_embedding, rng,
-        num_samples=num_samples, burn_in=burn_in,
+        num_samples=num_samples, burn_in=burn_in, step_size=step_size,
     )
     import numpy as np
 
