@@ -51,6 +51,12 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable Pallas kernels (XLA einsum MoE + chunked attention)")
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument("--config", choices=["parity", "tpu_flagship"], default="parity",
+                    help="'parity' = reference-exact channel plan (headline); "
+                    "'tpu_flagship' = every rung >= 64 channels, the TPU-first "
+                    "plan that lifts the reference plan's 25% MXU-fill ceiling "
+                    "(see moegan_tpu.config.tpu_flagship_config). Not "
+                    "comparable to parity numbers: ~4x top-rung FLOPs.")
     args = ap.parse_args()
     # remat is opt-in since round 2 (--no-remat kept for back-compat).
     args.no_remat = not args.remat
@@ -60,11 +66,25 @@ def main():
     # outage prints a JSON marker line and exits rc=3 so BENCH_r*.json
     # records "backend unreachable", not "bench.py broken".
     if not args.cpu and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        import urllib.error
         import urllib.request
 
-        try:
-            urllib.request.urlopen("http://127.0.0.1:8093/health", timeout=10)
-        except Exception as e:
+        # Reachability = ANY HTTP response (the tunnel's /health returns
+        # 404 when alive); only connection-level errors/timeouts, after
+        # retries, mean the tunnel is down.
+        last_err = None
+        for _ in range(3):
+            try:
+                urllib.request.urlopen("http://127.0.0.1:8093/health", timeout=30)
+                last_err = None
+                break
+            except urllib.error.HTTPError:
+                last_err = None  # got an HTTP status -> tunnel is up
+                break
+            except Exception as e:
+                last_err = e
+                time.sleep(10)
+        if last_err is not None:
             print(
                 json.dumps(
                     {
@@ -72,7 +92,7 @@ def main():
                         "value": 0,
                         "unit": "imgs/sec/chip",
                         "vs_baseline": 0,
-                        "error": f"tpu_backend_unreachable: {e}",
+                        "error": f"tpu_backend_unreachable: {last_err}",
                     }
                 )
             )
@@ -105,14 +125,22 @@ def main():
     from moegan_tpu.train.step import make_train_step
 
     r = args.resolution
-    full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
+    if args.config == "tpu_flagship":
+        from moegan_tpu.config import tpu_flagship_config
+
+        base = tpu_flagship_config()
+        full = dict(base.generator.channels)
+        disc = base.discriminator.replace(max_resolution=r)
+    else:
+        full = {4: 512, 8: 256, 16: 128, 32: 64, 64: 32}
+        disc = DiscriminatorConfig(max_resolution=r)
     channels = {k: v for k, v in full.items() if k <= r}
     cfg = TrainConfig(
         generator=GeneratorConfig(
             max_resolution=r, channels=channels, remat_blocks=not args.no_remat,
             use_pallas=not args.no_pallas,
         ),
-        discriminator=DiscriminatorConfig(max_resolution=r),
+        discriminator=disc,
         mesh=MeshConfig(expert_parallelism=0),
         steps_per_epoch=1000,
         batch_size=args.batch,
@@ -175,6 +203,8 @@ def main():
         t_1 = timed(make_multi(1), state, batch, key, schedule, clip_params)
         per_step = max((t_n - t_1) / (args.steps - 1), 1e-9)
         metric_name = f"imgs/sec/chip ({r}x{r} G+D train step)"
+        if args.config != "parity":
+            metric_name += f" [{args.config}]"
     else:
         gen = AuroraGenerator(cfg.generator)
         z = jax.random.normal(key, (args.batch, cfg.generator.latent_dim))
@@ -208,6 +238,8 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
     baseline_key = f"{args.mode}_{r}_{args.batch}_clip{int(args.with_clip)}"
+    if args.config != "parity":
+        baseline_key += f"_{args.config}"
     if args.no_remat:
         baseline_key += "_noremat"
     if args.no_pallas:
@@ -224,7 +256,10 @@ def main():
     # against the ROUND-1 driver number (558 imgs/s/chip, BENCH_r01.json)
     # so vs_baseline tracks cross-round progress even as the default
     # batch/remat config evolves; other configs compare per-key.
-    flagship = args.mode == "train" and r == 64 and not args.with_clip
+    flagship = (
+        args.mode == "train" and r == 64 and not args.with_clip
+        and args.config == "parity"
+    )
     if flagship and "flagship_round1" in baselines:
         vs_baseline = imgs_per_sec_per_chip / baselines["flagship_round1"]
     else:

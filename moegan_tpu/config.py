@@ -249,6 +249,32 @@ class TrainConfig(_JsonMixin):
         return super().from_dict(d)
 
 
+def tpu_flagship_config(batch_size: int = 64) -> TrainConfig:
+    """Opt-in TPU-first flagship: the parity plan with every rung >= 64 wide.
+
+    The reference's channel plan narrows to C=32 at res 64 (our ladder
+    extension of t2i_moe_gan.py:704-706 keeps halving), so nearly every
+    hot contraction at the two most expensive rungs has K or N = 32 and
+    can fill at most 25% of the 128x128 MXU regardless of scheduling
+    (fill-corrected floor analysis, scripts/shape_census.py and
+    README "Where the floor actually is"). This preset doubles the width
+    of every rung above 8 — min dim 64 = 50% MXU fill at res 64, full
+    fill at res <= 16 — demonstrating that the framework, not the ported
+    architecture, sets the throughput ceiling. NOT the parity config:
+    ~4x the FLOPs at the top rung, different param shapes; use for MFU /
+    scaling studies and greenfield training, never for reference
+    comparisons.
+    """
+    return TrainConfig(
+        batch_size=batch_size,
+        generator=GeneratorConfig(
+            max_resolution=64,
+            channels={4: 512, 8: 512, 16: 256, 32: 128, 64: 64},
+        ),
+        discriminator=DiscriminatorConfig(max_resolution=64, base_channels=64),
+    )
+
+
 def coerce_hyperparameters(raw: Mapping[str, str]) -> dict:
     """String->typed coercion of a SageMaker-style hyperparameter dict.
 

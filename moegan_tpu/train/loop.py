@@ -38,6 +38,7 @@ def train_aurora_gan(
     save_dir: Optional[str] = None,
     resume: bool = False,
     distributed: bool = True,
+    devices=None,
     logger: Optional[MetricLogger] = None,
     transfer_from=None,
 ) -> TrainState:
@@ -53,9 +54,10 @@ def train_aurora_gan(
     steps_per_epoch = cfg.steps_per_epoch or loader.steps_per_epoch
     key = jax.random.PRNGKey(cfg.seed)
 
-    if distributed and len(jax.devices()) > 1:
+    if distributed and len(devices or jax.devices()) > 1:
         mesh, state, step_fn = setup_distributed_training(
-            cfg, key, steps_per_epoch=steps_per_epoch, with_clip=clip_params is not None
+            cfg, key, devices=devices, steps_per_epoch=steps_per_epoch,
+            with_clip=clip_params is not None,
         )
     else:
         mesh = None

@@ -121,13 +121,20 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--expert_parallelism", type=int, default=0)
     ap.add_argument("--single_device", action="store_true",
-                    help="skip the device mesh (one-device step). The CI "
-                    "smoke test uses this: on a 1-core host the 8-virtual-"
-                    "device CPU mesh's collective rendezvous (hard 40 s "
-                    "timeout in XLA:CPU) aborts under load; sharded-step "
-                    "coverage lives in tests/test_sharding.py and "
-                    "__graft_entry__.dryrun_multichip.")
+                    help="skip the device mesh (one-device step). On a "
+                    "1-core host the FULL 8-virtual-device CPU mesh's "
+                    "collective rendezvous (hard 40 s timeout in XLA:CPU) "
+                    "can abort under load; the CI smoke instead uses "
+                    "--num_devices 2, which fits the rendezvous budget.")
+    ap.add_argument("--num_devices", type=int, default=0,
+                    help="cap the mesh at the first N devices (0 = all). "
+                    "The CI smoke runs the sharded runbook on a 2-device "
+                    "CPU mesh: small enough for a 1-core host's collective "
+                    "rendezvous, still a real mesh (loop + prefetch + "
+                    "checkpoint under GSPMD).")
     args = ap.parse_args(argv)
+
+    import jax
 
     from moegan_tpu.data.datasets import ProcessedMSCOCODataset, synthetic_dataset
     from moegan_tpu.models.clip_jax import CLIP_WEIGHTS_ENV, load_clip_params
@@ -172,6 +179,7 @@ def main(argv=None):
         ds, val, cfg=cfg, clip_params=clip_params,
         metric_callback=callback, save_dir=os.path.join(args.out_dir, "ckpt"),
         logger=logger, distributed=not args.single_device,
+        devices=(jax.devices()[: args.num_devices] if args.num_devices else None),
     )
 
     final = history[-1] if history else {}
