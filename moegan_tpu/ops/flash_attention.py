@@ -48,12 +48,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
     lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used),
-    or [block_q//128, 128] when compact_lse (a sublane->lane relayout in
-    VMEM — 128x less HBM for the residual), or None for the primal-only
-    variant (inference / gradient-free forwards — e.g. the D-phase fresh
-    fake — skip the 4-byte-per-row lse write entirely, which at
-    [BH, T, 128] fp32 tiling is a 134 MB HBM buffer at the 64x64
-    flagship shapes).
+    or the WHOLE [T//128, 128] compact block when compact_lse (a
+    sublane->lane relayout in VMEM — 128x less HBM for the residual; the
+    block is indexed by bh only and each q-tile program writes its own
+    [block_q//128, 128] row slice, because a per-tile block of
+    block_q//128 = 2 sublanes violates the (8,128) tiling rule — the
+    round-3 flagship lowering failure, runs/r4_tpu_log1.txt item b), or
+    None for the primal-only variant (inference / gradient-free forwards
+    — e.g. the D-phase fresh fake — skip the 4-byte-per-row lse write
+    entirely, which at [BH, T, 128] fp32 tiling is a 134 MB HBM buffer
+    at the 64x64 flagship shapes).
     """
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
@@ -95,7 +99,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
     if lse_ref is not None:
         lse = m + jnp.log(l)  # [block_q, 1]
         if compact_lse:
-            lse_ref[:] = lse.reshape(lse_ref.shape)
+            rows = block_q // 128
+            lse_ref[pl.ds(pl.program_id(1) * rows, rows), :] = lse.reshape(rows, 128)
         else:
             lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
@@ -151,8 +156,10 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 
     compact = _compact_lse_wanted(block_q)
     if compact:
+        # Whole compact block per bh; q-tile programs write disjoint row
+        # slices (same pattern as the backward's dk/dv accumulators).
         lse_spec = pl.BlockSpec(
-            (None, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (None, T // 128, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         lse_shape = jax.ShapeDtypeStruct((B * H, T // 128, 128), jnp.float32)
     else:
@@ -200,7 +207,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
     if compact_lse:
-        lse = lse_ref[:].reshape(block_q, 1)
+        rows = block_q // 128
+        lse = lse_ref[pl.ds(i * rows, rows), :].reshape(block_q, 1)
     else:
         lse = lse_ref[:, :1]
     delta = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
@@ -265,7 +273,7 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
     compact = lse.shape[1] != T
     if compact:
         lse_spec = pl.BlockSpec(
-            (None, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (None, T // 128, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
     else:
         lse_spec = pl.BlockSpec(

@@ -468,6 +468,7 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
             bytes_accessed=2 * (T * C + E * 2 * C * F) + 8 * E * 2 * C * F,
             transcendentals=2 * T * F * E,
         ),
+        compiler_params=_bwd_compiler_params(),
     )(x, fw, cw_f, text_logits, it, w1, b1r, w2, b2[:, None, :], dout)
     dx_ffn, dp_combine, dw1, db1, dw2, db2 = outs
 
@@ -498,8 +499,14 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
 # the working set; 4 MB keeps C<=128/F=512/E=4 in and C>=256 out on v5e
 # (the C=256/F=1024 res-8 block would need ~8.4 MB of accumulators and
 # falls back to the XLA-recompute backward). MOEGAN_MOE_BWD_VMEM_MB
-# raises the budget for on-hardware trials — v5e scoped VMEM is 16 MB,
-# so ~10 may compile for C=256; bench before adopting.
+# raises the budget for on-hardware trials. Measured (round-4 chain,
+# runs/r4_tpu_log1.txt item c): the C=256 v2 backward's TRUE scoped
+# footprint is 18.79 MB (accumulators + stacked bf16 weight copies +
+# the [blk, E*F] z/h/p_rep intermediates), i.e. past Mosaic's default
+# 16 MB scoped-VMEM limit — so budgets > 16 MB are forwarded to Mosaic
+# as vmem_limit_bytes (v5e VMEM is 128 MB; the 16 MB default is a
+# scheduling heuristic, not a hardware bound). Trial value that admits
+# C=256: MOEGAN_MOE_BWD_VMEM_MB=24.
 _SINGLE_BWD_VMEM_BYTES = 4 * 1024 * 1024
 
 
@@ -532,6 +539,17 @@ def _bwd_vmem_budget() -> int:
 
 def _single_bwd_supported(C: int, F: int, E: int) -> bool:
     return 2 * E * C * F * 4 <= _bwd_vmem_budget()
+
+
+def _bwd_compiler_params():
+    """Mosaic params for the single-kernel backwards: a budget raised past
+    the default 16 MB scoped-VMEM limit is forwarded as vmem_limit_bytes,
+    otherwise the kernel could pass the gate yet fail Mosaic compilation
+    (the round-4 C=256 trial: 18.79 MB true footprint vs the 16 MB limit)."""
+    budget = _bwd_vmem_budget()
+    if budget > 16 * 1024 * 1024:
+        return pltpu.CompilerParams(vmem_limit_bytes=budget)
+    return None
 
 
 def _router_probs_fn(x, fw, cw_f, text_logits, inv_temp):
@@ -931,6 +949,7 @@ def _fused_moe_bwd_v2(res, dout, dprobs, block_t: int):
             bytes_accessed=2 * (T * C + E * 2 * C * F) + 8 * E * 2 * C * F,
             transcendentals=2 * T * F * E,
         ),
+        compiler_params=_bwd_compiler_params(),
     )(x, fw, cw_f, text_logits, it, w1s, b1s, w2s, b2s, dout)
     dx_ffn, dp_combine, dw1s, db1s, dw2s, db2s = outs
 
