@@ -149,6 +149,94 @@ class EnhancedMSCOCODataset:
         return self.images[idx], self.text_embeddings[idx], self.cluster_labels[idx]
 
 
+# Procedural colored-shapes corpus: the offline stand-in for COCO when
+# demonstrating that text conditioning actually conditions (the reference's
+# core claim, README.md:92-97 / t2i_moe_gan.py:66-119). Class identity is
+# (color, shape); captions are templated so a from-scratch embedder
+# (models/toy_clip.py) can learn the text<->image alignment in minutes.
+SHAPE_COLORS = {
+    "red": (1.0, 0.1, 0.1),
+    "green": (0.1, 0.9, 0.1),
+    "blue": (0.15, 0.3, 1.0),
+    "yellow": (1.0, 0.95, 0.1),
+    "magenta": (1.0, 0.1, 0.9),
+    "cyan": (0.1, 0.9, 0.9),
+    "orange": (1.0, 0.55, 0.05),
+    "white": (0.95, 0.95, 0.95),
+}
+SHAPE_KINDS = ("circle", "square", "triangle", "cross")
+_CAPTION_TEMPLATES = (
+    "a {color} {shape}",
+    "the {color} {shape}",
+    "a {color} {shape} on a dark background",
+    "one {color} {shape} in the picture",
+)
+
+
+def shape_class_names() -> list:
+    """All (color, shape) class captions in label order (C*S classes)."""
+    return [
+        f"a {color} {shape}" for color in SHAPE_COLORS for shape in SHAPE_KINDS
+    ]
+
+
+def _render_shape(kind: str, cx, cy, r, res: int, ss: int = 4) -> np.ndarray:
+    """Antialiased [res,res] coverage mask via ss x ss supersampling."""
+    n = res * ss
+    ys, xs = (np.mgrid[0:n, 0:n] + 0.5) / n
+    if kind == "circle":
+        mask = (xs - cx) ** 2 + (ys - cy) ** 2 <= r**2
+    elif kind == "square":
+        mask = (np.abs(xs - cx) <= r * 0.9) & (np.abs(ys - cy) <= r * 0.9)
+    elif kind == "triangle":
+        # Upright isoceles triangle inscribed in the radius.
+        mask = (
+            (ys <= cy + r * 0.8)
+            & (np.abs(xs - cx) <= ((ys - (cy - r)) / (2 * r * 0.9 + 1e-9)) * r)
+        )
+    elif kind == "cross":
+        arm = r * 0.35
+        mask = ((np.abs(xs - cx) <= arm) & (np.abs(ys - cy) <= r)) | (
+            (np.abs(ys - cy) <= arm) & (np.abs(xs - cx) <= r)
+        )
+    else:
+        raise ValueError(kind)
+    return mask.astype(np.float32).reshape(res, ss, res, ss).mean((1, 3))
+
+
+def shapes_dataset(
+    n: int = 4096, resolution: int = 16, seed: int = 0
+) -> tuple["ProcessedMSCOCODataset", np.ndarray]:
+    """Colored shapes + template captions.
+
+    Returns (dataset, class_labels) where dataset carries [-1,1] NHWC
+    images and per-sample captions (text_embeddings start as zeros — fill
+    them with a trained text tower, e.g. toy_clip.encode_text). Labels
+    index into shape_class_names() (color-major).
+    """
+    rng = np.random.default_rng(seed)
+    colors = list(SHAPE_COLORS)
+    images = np.zeros((n, resolution, resolution, 3), np.float32)
+    captions = np.empty(n, object)
+    labels = np.zeros(n, np.int32)
+    for i in range(n):
+        ci = rng.integers(len(colors))
+        si = rng.integers(len(SHAPE_KINDS))
+        color, shape = colors[ci], SHAPE_KINDS[si]
+        labels[i] = ci * len(SHAPE_KINDS) + si
+        cx, cy = rng.uniform(0.35, 0.65, 2)
+        r = rng.uniform(0.22, 0.34)
+        mask = _render_shape(shape, cx, cy, r, resolution)
+        bg = rng.uniform(0.03, 0.10) + 0.02 * rng.normal(size=(resolution, resolution, 1))
+        rgb = np.asarray(SHAPE_COLORS[color], np.float32) * rng.uniform(0.85, 1.0)
+        img01 = bg + mask[..., None] * (rgb - bg)
+        images[i] = np.clip(img01 * 2.0 - 1.0, -1.0, 1.0)
+        tmpl = _CAPTION_TEMPLATES[rng.integers(len(_CAPTION_TEMPLATES))]
+        captions[i] = tmpl.format(color=color, shape=shape)
+    embeds = np.zeros((n, 512), np.float32)
+    return ProcessedMSCOCODataset(images, embeds, captions), labels
+
+
 def synthetic_dataset(
     n: int = 64, resolution: int = 16, seed: int = 0, text_dim: int = 512
 ) -> ProcessedMSCOCODataset:

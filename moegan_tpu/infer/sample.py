@@ -53,6 +53,12 @@ class Sampler:
             from moegan_tpu.models.clip_jax import load_clip_params
 
             self.clip_params = load_clip_params()
+        if isinstance(self.clip_params, dict) and "toy" in self.clip_params:
+            # From-scratch tower pack (models/toy_clip.py) — same
+            # structural dispatch as losses/clip_loss.py.
+            from moegan_tpu.models.toy_clip import encode_text
+
+            return encode_text(self.clip_params["toy"], prompt)
         from moegan_tpu.models.clip_jax import encode_text
 
         return encode_text(self.clip_params, prompt)

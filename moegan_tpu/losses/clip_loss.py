@@ -17,6 +17,25 @@ import jax.numpy as jnp
 from moegan_tpu.models import clip_jax
 
 
+def _towers(clip_params):
+    """Tower pack dispatch: a ``{"toy": ...}`` pytree (models/toy_clip.py)
+    routes to the from-scratch embedder, anything else to the CLIP ViT-B/32
+    towers. Structural (pytree-key) dispatch, so it is jit-stable — the
+    trace specializes per params structure, never on traced values."""
+    if isinstance(clip_params, dict) and "toy" in clip_params:
+        from moegan_tpu.models import toy_clip
+
+        toy = clip_params["toy"]
+        return (
+            lambda x: toy_clip.preprocess(toy, x),
+            lambda x: toy_clip.image_features_preprocessed(toy, x),
+        )
+    return (
+        clip_jax.preprocess_for_clip,
+        lambda x: clip_jax.image_features_preprocessed(clip_params, x),
+    )
+
+
 def _cosine_loss(feats: jax.Array, text_embeddings: jax.Array) -> jax.Array:
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     text = text_embeddings.astype(jnp.float32)
@@ -34,7 +53,8 @@ def clip_loss(
     stop_gradient: bool = True,
 ) -> jax.Array:
     """1 - mean cosine similarity between CLIP(image) and text embeddings."""
-    feats = clip_jax.image_features(clip_params, images_m11)
+    pre, features = _towers(clip_params)
+    feats = features(pre(images_m11))
     if stop_gradient:
         feats = jax.lax.stop_gradient(feats)
     return _cosine_loss(feats, text_embeddings)
@@ -63,13 +83,11 @@ def multi_level_clip_loss(
     resolutions = sorted(images_by_res)
     if not resolutions:
         return {}
-    x = jnp.concatenate(
-        [clip_jax.preprocess_for_clip(images_by_res[r]) for r in resolutions],
-        axis=0,
-    )
+    pre, features = _towers(clip_params)
+    x = jnp.concatenate([pre(images_by_res[r]) for r in resolutions], axis=0)
 
     def tower(params, x):
-        return clip_jax.image_features_preprocessed(params, x)
+        return _towers(params)[1](x)
 
     if stop_gradient:
         feats = jax.lax.stop_gradient(tower(clip_params, jax.lax.stop_gradient(x)))
@@ -85,7 +103,8 @@ def multi_level_clip_loss(
 
 def clip_score(clip_params, images_m11: jax.Array, text_embeddings: jax.Array) -> jax.Array:
     """CLIPScore = 100 * max(0, cos sim), the standard eval metric."""
-    feats = clip_jax.image_features(clip_params, images_m11)
+    pre, features = _towers(clip_params)
+    feats = features(pre(images_m11))
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
     text = text_embeddings.astype(jnp.float32)
     text = text / (jnp.linalg.norm(text, axis=-1, keepdims=True) + 1e-8)

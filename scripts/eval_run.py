@@ -130,6 +130,42 @@ def main():
     ev.set_reference_images(ds.images[: res["num_samples"]])
     ev.save_reference_stats(os.path.join(out_dir, "reference_stats.npz"))
 
+    # Soft-vs-hard routing histogram at flagship scale (round-3 VERDICT
+    # weak #4): eval-mode routing is hard top-1 argmax, but the balance
+    # loss controls the SOFT mass — near-uniform soft probs with a skewed
+    # argmax distribution is tie-breaking on near-ties, not expert
+    # collapse. Record both on the same 256 samples so the claim is
+    # checkable at 64x64, not just at the 16x16 demo.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moegan_tpu.models.generator import AuroraGenerator
+
+    gen = AuroraGenerator(gen_cfg)
+    n_hist = 256
+    emb_h = jnp.asarray(
+        np.tile(ds.text_embeddings[: min(64, len(ds))], (4, 1))[:n_hist], jnp.float32
+    )
+    z_h = jax.random.normal(jax.random.PRNGKey(7), (n_hist, gen_cfg.latent_dim))
+    soft_out = gen.apply(
+        {"params": g_params}, z_h, emb_h, training=True,
+        rngs={"router": jax.random.PRNGKey(3)},
+    )
+    hard_out = gen.apply({"params": g_params}, z_h, emb_h, training=False)
+    routing_soft_vs_hard = {}
+    for i, (ps, ph) in enumerate(zip(soft_out.routing, hard_out.routing)):
+        ps = np.asarray(ps, np.float32).reshape(-1, ps.shape[-1])
+        ph = np.asarray(ph, np.float32).reshape(-1, ph.shape[-1])
+        routing_soft_vs_hard[f"block_{i}"] = {
+            "soft_mean_prob": ps.mean(0).tolist(),
+            "soft_top1_fraction": (
+                np.bincount(ps.argmax(-1), minlength=ps.shape[-1]) / len(ps)
+            ).tolist(),
+            "hard_top1_fraction": (
+                np.bincount(ph.argmax(-1), minlength=ph.shape[-1]) / len(ph)
+            ).tolist(),
+        }
+
     semantic = bool(
         os.environ.get(INCEPTION_WEIGHTS_ENV) and os.environ.get(CLIP_WEIGHTS_ENV)
     )
@@ -146,6 +182,7 @@ def main():
             if not semantic else "semantic: pretrained feature towers"
         ),
         "quick_train": trained_here,
+        "routing_soft_vs_hard": routing_soft_vs_hard,
         "command": " ".join(["python", "scripts/eval_run.py", *sys.argv[1:]]),
     }
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
