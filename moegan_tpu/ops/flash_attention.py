@@ -48,16 +48,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
     lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used),
-    or the WHOLE [T//128, 128] compact block when compact_lse (a
-    sublane->lane relayout in VMEM — 128x less HBM for the residual; the
-    block is indexed by bh only and each q-tile program writes its own
-    [block_q//128, 128] row slice, because a per-tile block of
-    block_q//128 = 2 sublanes violates the (8,128) tiling rule — the
-    round-3 flagship lowering failure, runs/r4_tpu_log1.txt item b), or
-    None for the primal-only variant (inference / gradient-free forwards
-    — e.g. the D-phase fresh fake — skip the 4-byte-per-row lse write
-    entirely, which at [BH, T, 128] fp32 tiling is a 134 MB HBM buffer
-    at the 64x64 flagship shapes).
+    or the whole [T//block_q, block_q] lane-packed block when compact_lse
+    (128x less HBM for the residual; each q-tile program writes its own
+    row). The sublane->lane relayout is done
+    as an MXU matmul against an identity matrix (`_to_lanes`): both
+    reshape-based formulations failed Mosaic's infer-vector-layout on
+    hardware — per-tile [block_q//128, 128] blocks broke the (8,128)
+    tiling rule (runs/r4_tpu_log1.txt item b) and whole-[T//128, 128]
+    blocks hit `unsupported shape cast vector<1x2x128> -> vector<256x1>`
+    (runs/r4_tpu_log2.txt) — while dot_general transposes lower
+    natively. lse_ref=None marks the primal-only variant (inference /
+    gradient-free forwards — e.g. the D-phase fresh fake — skip the
+    4-byte-per-row lse write entirely, which at [BH, T, 128] fp32 tiling
+    is a 134 MB HBM buffer at the 64x64 flagship shapes).
     """
     block_q, d = q_ref.shape
     t = k_ref.shape[0]
@@ -99,22 +102,57 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
     if lse_ref is not None:
         lse = m + jnp.log(l)  # [block_q, 1]
         if compact_lse:
-            rows = block_q // 128
-            lse_ref[pl.ds(pl.program_id(1) * rows, rows), :] = lse.reshape(rows, 128)
+            # Whole [T//block_q, block_q] block per bh; this program owns
+            # row i (dynamic SUBLANE slice — supported, unlike the lane
+            # casts both failed formulations needed).
+            lse_ref[pl.ds(pl.program_id(1), 1), :] = _to_lanes(lse)
         else:
             lse_ref[:] = jnp.broadcast_to(lse, lse_ref.shape)
 
 
+def _identity(n: int):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (rows == cols).astype(jnp.float32)
+
+
+def _to_lanes(col):
+    """[N, 1] -> [1, N] via an exact fp32 identity matmul (x*1 summed
+    with zeros). Mosaic rejects this relayout as a reshape/shape-cast but
+    lowers dot_general transposes natively; the matmul is one
+    [N,1]x[N,N] op per program — noise next to the attention math."""
+    n = col.shape[0]
+    return jax.lax.dot_general(
+        col, _identity(n),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _to_sublanes(row):
+    """[1, N] -> [N, 1]: inverse of `_to_lanes`, same mechanism."""
+    n = row.shape[1]
+    return jax.lax.dot_general(
+        _identity(n), row,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _compact_lse_wanted(block_q: int) -> bool:
-    """Compact [BH, T//128, 128] lse storage (vs lane-broadcast
-    [BH, T, 128]): 128x less residual HBM, at the cost of a
-    sublane<->lane relayout inside the kernels. Default OFF pending an
-    on-hardware A/B (scripts/r3_tpu_chain10.sh probes the relayout;
-    every "obvious" win this round was benched before adoption)."""
+    """Compact [BH, T//block_q, block_q] lse storage (vs lane-broadcast
+    [BH, T, 128]): 128x less residual HBM, at the cost of an identity
+    matmul per kernel program to relayout sublanes<->lanes (the only
+    formulation of that relayout Mosaic lowers — see _fwd_kernel).
+    Default ON since the round-4 hardware A/B: 988.74 imgs/s/chip with
+    compact vs 984.29 lane-broadcast at the b64 flagship (runs/
+    r4_tpu_log4.txt item a vs r4_tpu_log2.txt item a) — not slower, and
+    134 MB less residual HBM at the 64x64 shapes. Opt out with
+    MOEGAN_FLASH_COMPACT_LSE=0."""
     import os
 
     return (
-        os.environ.get("MOEGAN_FLASH_COMPACT_LSE", "0") == "1"
+        os.environ.get("MOEGAN_FLASH_COMPACT_LSE", "1") != "0"
         and block_q % 128 == 0
     )
 
@@ -122,7 +160,8 @@ def _compact_lse_wanted(block_q: int) -> bool:
 def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = False):
     """with_lse=True additionally returns the logsumexp in the layout the
     backward consumes AS-IS (no slice/re-broadcast round-trip through
-    HBM): [BH, T, 128] lane-broadcast, or [BH, T//128, 128] compact."""
+    HBM): [BH, T, 128] lane-broadcast, or [BH, T//block_q, block_q]
+    compact (lane-packed per q-tile)."""
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
 
@@ -156,12 +195,14 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 
     compact = _compact_lse_wanted(block_q)
     if compact:
-        # Whole compact block per bh; q-tile programs write disjoint row
-        # slices (same pattern as the backward's dk/dv accumulators).
+        # Whole [T//block_q, block_q] lane-packed block per bh (block
+        # dims equal the array dims, satisfying the (8,128) tiling rule
+        # for any tile count); each q-tile program writes its own row.
         lse_spec = pl.BlockSpec(
-            (None, T // 128, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            (None, T // block_q, block_q), lambda b, i: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        lse_shape = jax.ShapeDtypeStruct((B * H, T // 128, 128), jnp.float32)
+        lse_shape = jax.ShapeDtypeStruct((B * H, T // block_q, block_q), jnp.float32)
     else:
         lse_spec = pl.BlockSpec(
             (None, block_q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -207,8 +248,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
     if compact_lse:
-        rows = block_q // 128
-        lse = lse_ref[pl.ds(i * rows, rows), :].reshape(block_q, 1)
+        # Row i of the whole lane-packed block -> [block_q, 1] column.
+        lse = _to_sublanes(lse_ref[pl.ds(i, 1), :])
     else:
         lse = lse_ref[:, :1]
     delta = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
@@ -268,12 +309,13 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
 
     # lse layout is whatever the forward saved: [BH, T, 128]
-    # lane-broadcast or [BH, T//128, 128] compact (shape-detected so the
-    # pair can never disagree).
+    # lane-broadcast or [BH, T//block_q, block_q] compact (shape-detected
+    # so the pair can never disagree).
     compact = lse.shape[1] != T
     if compact:
         lse_spec = pl.BlockSpec(
-            (None, T // 128, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            (None, T // block_q, block_q), lambda b, i: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
     else:
         lse_spec = pl.BlockSpec(

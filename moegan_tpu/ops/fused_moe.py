@@ -499,15 +499,18 @@ def _fused_moe_bwd_single(res, dout, dprobs, block_t: int):
 # the working set; 4 MB keeps C<=128/F=512/E=4 in and C>=256 out on v5e
 # (the C=256/F=1024 res-8 block would need ~8.4 MB of accumulators and
 # falls back to the XLA-recompute backward). MOEGAN_MOE_BWD_VMEM_MB
-# raises the budget for on-hardware trials. Measured (round-4 chain,
+# overrides the budget. Measured (round-4 chain,
 # runs/r4_tpu_log1.txt item c): the C=256 v2 backward's TRUE scoped
 # footprint is 18.79 MB (accumulators + stacked bf16 weight copies +
 # the [blk, E*F] z/h/p_rep intermediates), i.e. past Mosaic's default
 # 16 MB scoped-VMEM limit — so budgets > 16 MB are forwarded to Mosaic
 # as vmem_limit_bytes (v5e VMEM is 128 MB; the 16 MB default is a
-# scheduling heuristic, not a hardware bound). Trial value that admits
-# C=256: MOEGAN_MOE_BWD_VMEM_MB=24.
-_SINGLE_BWD_VMEM_BYTES = 4 * 1024 * 1024
+# scheduling heuristic, not a hardware bound). Default is 24 MB since
+# the round-4 hardware A/B: with the C=256/F=1024 res-8 block on the
+# single-kernel backward the b64 flagship ran 989.43 imgs/s/chip vs
+# 984.29 on the XLA-recompute fallback (runs/r4_tpu_log3.txt item a vs
+# r4_tpu_log2.txt item a).
+_SINGLE_BWD_VMEM_BYTES = 24 * 1024 * 1024
 
 
 _BWD_BUDGET_CACHE: dict = {}

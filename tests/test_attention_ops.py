@@ -99,13 +99,14 @@ def test_flash_backward_kernels_interpret(qkv):
 @pytest.mark.parametrize("T", [256, 1024])
 def test_flash_compact_lse_interpret(monkeypatch, T):
     """MOEGAN_FLASH_COMPACT_LSE=1 stores the logsumexp residual as
-    [BH, T//128, 128] (sublane->lane relayout in-kernel) instead of the
-    128x-padded lane-broadcast; forward AND gradients must be unchanged.
+    [BH, T//block_q, block_q] lane-packed rows (relayout done via
+    identity matmuls — the only formulation Mosaic lowers; see
+    _fwd_kernel) instead of the 128x-padded lane-broadcast; forward AND
+    gradients must be unchanged.
 
-    T=1024 is the multi-q-tile case (4 tiles of block_q=256 share one
-    whole compact block per bh, each writing its own row slice) — the
-    per-tile-block layout failed Mosaic's (8,128) tiling rule at exactly
-    this shape on hardware (runs/r4_tpu_log1.txt item b)."""
+    T=1024 is the multi-q-tile case (4 tiles of block_q=256): both
+    rejected formulations failed on hardware at exactly this regime
+    (runs/r4_tpu_log1.txt item b, runs/r4_tpu_log2.txt item a)."""
     monkeypatch.setenv("MOEGAN_FLASH_COMPACT_LSE", "1")
     k = jax.random.PRNGKey(3)
     shape = (2, T, 1, 16)  # block_q=256 -> compact gate active
