@@ -135,6 +135,11 @@ def sample_aurora_gan(
     seed: int = 0,
 ):
     """Functional mirror of the reference API (:1672). Returns [N,R,R,3]
-    images in [-1, 1] (NHWC, float32)."""
-    sampler = Sampler(cfg or GeneratorConfig(), generator_params, clip_params)
+    images in [-1, 1] (NHWC, float32). With cfg=None the architecture is
+    recovered from the param shapes rather than assumed flagship."""
+    if cfg is None:
+        from moegan_tpu.utils.checkpoint import infer_generator_config
+
+        cfg = infer_generator_config(generator_params)
+    sampler = Sampler(cfg, generator_params, clip_params)
     return sampler(text_prompt, num_samples, truncation_psi, seed)

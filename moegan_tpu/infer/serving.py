@@ -223,7 +223,20 @@ class InferenceHandler:
         if path is None:
             raise FileNotFoundError(f"no model artifact under {model_dir}")
         g_params = load_generator_params(path)
-        cfg = cfg or GeneratorConfig()
+        if cfg is None:
+            # Architecture must match the checkpoint, not the flagship
+            # default: prefer a generator_config.json saved next to the
+            # model (demo_train/train CLIs write one), else recover it
+            # from the param shapes (reference load_model hard-codes its
+            # one architecture, inference.py:34-105; ours is a ladder).
+            cfg_path = os.path.join(model_dir, "generator_config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    cfg = GeneratorConfig.from_dict(json.load(f))
+            else:
+                from moegan_tpu.utils.checkpoint import infer_generator_config
+
+                cfg = infer_generator_config(g_params)
         if clip_params is None:
             from moegan_tpu.models.clip_jax import load_clip_params
 

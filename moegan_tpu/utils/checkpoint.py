@@ -149,3 +149,61 @@ def save_generator_params(path: str, g_params: Any, *, wrapped: bool = True):
             f.write(flax.serialization.msgpack_serialize(
                 jax.tree_util.tree_map(np.asarray, tree)
             ))
+
+
+def infer_generator_config(g_params: Any):
+    """Recover the GeneratorConfig architecture from a bare param tree.
+
+    The reference's load_model (inference.py:34-105) hard-codes its one
+    architecture; here the ladder is parameterized, so a serving handler
+    pointed at a bare checkpoint (no generator_config.json next to it)
+    must recover max_resolution / channel plan / expert count / router
+    width from the param shapes or it will build the wrong graph.
+    Everything shape-derivable is inferred; head count and dtypes keep
+    their config defaults (head count does not change param shapes).
+    """
+    import flax.traverse_util as tu
+
+    from moegan_tpu.config import GeneratorConfig
+
+    flat = tu.flatten_dict(g_params, sep="/")
+    keys = set(flat)
+
+    blocks = sorted(
+        {int(k.split("/")[0].rsplit("_", 1)[1])
+         for k in keys if k.startswith("gen_block_")}
+    )
+    if not blocks:
+        raise ValueError("param tree has no gen_block_* scopes")
+    channels = {
+        r: int(flat[f"gen_block_{r}/attn_block/norm1/scale"].shape[0])
+        for r in blocks
+    }
+    rgb = sorted(
+        {int(k.split("/")[0].rsplit("_", 1)[1])
+         for k in keys if k.startswith("to_rgb_")}
+    )
+    offsets = sorted(
+        r for r in blocks
+        if f"gen_block_{r}/conv_block/mtm1/offset_conv1/kernel" in keys
+    )
+    w1 = flat[f"gen_block_{blocks[0]}/attn_block/moe/w1"]
+    feature_mu = flat[f"gen_block_{blocks[0]}/attn_block/moe/router/feature_mu"]
+    mapping_layers = len({k.split("/")[0] for k in keys if k.startswith("mapping_")})
+    mapping_width = int(flat["mapping_0/kernel"].shape[1])
+    text_dim = int(flat["text_proj_1/kernel"].shape[0])
+    latent_dim = int(flat["mapping_0/kernel"].shape[0]) - int(
+        flat["text_proj_2/kernel"].shape[1]
+    )
+    return GeneratorConfig(
+        latent_dim=latent_dim,
+        text_embedding_dim=text_dim,
+        max_resolution=blocks[-1],
+        channels=channels,
+        num_experts=int(w1.shape[0]),
+        router_hidden=int(feature_mu.shape[1]),
+        offset_max_resolution=offsets[-1] if offsets else 0,
+        rgb_min_resolution=rgb[0] if rgb else blocks[-1],
+        mapping_layers=mapping_layers,
+        mapping_width=mapping_width,
+    )

@@ -81,6 +81,8 @@ def main():
         ds, val, cfg=cfg, save_dir=os.path.join(out_dir, "ckpt"), logger=logger
     )
     save_generator_params(os.path.join(out_dir, "aurora_model_final.msgpack"), state.g_params)
+    with open(os.path.join(out_dir, "generator_config.json"), "w") as f:
+        json.dump(cfg.generator.to_dict(), f, indent=2)
 
     sampler = Sampler(cfg.generator, state.g_params)
     images = sampler(ds.text_embeddings[:16], num_samples=16, truncation_psi=0.7)

@@ -281,3 +281,39 @@ def test_job_store_bounded_under_poll_storm():
     time.sleep(0.1)
     store.sweep()
     assert len(store._jobs) == 0
+
+
+def test_infer_generator_config_from_params(sampler):
+    """A bare checkpoint must reconstruct its own architecture: serving
+    pointed at a non-flagship model dir used to build the flagship graph
+    and die with ScopeParamNotFoundError (runs/r4_tpu_log4.txt item c)."""
+    from moegan_tpu.utils.checkpoint import infer_generator_config
+
+    cfg = infer_generator_config(sampler.g_params)
+    assert cfg.max_resolution == TINY_GEN.max_resolution
+    assert cfg.channels == dict(TINY_GEN.channels)
+    assert cfg.router_hidden == TINY_GEN.router_hidden
+    assert cfg.num_experts == TINY_GEN.num_experts
+    assert cfg.rgb_min_resolution == TINY_GEN.rgb_min_resolution
+    assert cfg.offset_max_resolution >= 16  # offsets present at <=16
+
+
+def test_from_model_dir_recovers_architecture(tmp_path, sampler):
+    """from_model_dir with no generator_config.json infers the ladder
+    from param shapes and the handler samples end-to-end; with a saved
+    generator_config.json it uses that instead."""
+    from moegan_tpu.infer.serving import InferenceHandler
+    from moegan_tpu.utils.checkpoint import save_generator_params
+
+    d = tmp_path / "model"
+    d.mkdir()
+    save_generator_params(str(d / "aurora_model_final.msgpack"), sampler.g_params)
+    h = InferenceHandler.from_model_dir(str(d), batching=False)
+    assert h.sampler.cfg.max_resolution == 16
+    out = h.transform_fn({"text": "x", "num_samples": 1})
+    assert len(out["images"]) == 1
+
+    with open(d / "generator_config.json", "w") as f:
+        f.write(TINY_GEN.to_json())
+    h2 = InferenceHandler.from_model_dir(str(d), batching=False)
+    assert h2.sampler.cfg == TINY_GEN
