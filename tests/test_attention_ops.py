@@ -96,18 +96,20 @@ def test_flash_backward_kernels_interpret(qkv):
         )
 
 
+@pytest.mark.parametrize("compact", ["1", "0"])
 @pytest.mark.parametrize("T", [256, 1024])
-def test_flash_compact_lse_interpret(monkeypatch, T):
-    """MOEGAN_FLASH_COMPACT_LSE=1 stores the logsumexp residual as
-    [BH, T//block_q, block_q] lane-packed rows (relayout done via
-    identity matmuls — the only formulation Mosaic lowers; see
+def test_flash_compact_lse_interpret(monkeypatch, T, compact):
+    """Compact lse (default since the round-4 A/B) stores the logsumexp
+    residual as [BH, T//block_q, block_q] lane-packed rows (relayout done
+    via identity matmuls — the only formulation Mosaic lowers; see
     _fwd_kernel) instead of the 128x-padded lane-broadcast; forward AND
-    gradients must be unchanged.
+    gradients must be unchanged, in BOTH layouts (compact="0" covers the
+    opt-out lane-broadcast path at the production block size).
 
     T=1024 is the multi-q-tile case (4 tiles of block_q=256): both
     rejected formulations failed on hardware at exactly this regime
     (runs/r4_tpu_log1.txt item b, runs/r4_tpu_log2.txt item a)."""
-    monkeypatch.setenv("MOEGAN_FLASH_COMPACT_LSE", "1")
+    monkeypatch.setenv("MOEGAN_FLASH_COMPACT_LSE", compact)
     k = jax.random.PRNGKey(3)
     shape = (2, T, 1, 16)  # block_q=256 -> compact gate active
     q = jax.random.normal(k, shape)
