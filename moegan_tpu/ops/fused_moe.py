@@ -540,8 +540,29 @@ def _bwd_vmem_budget() -> int:
     return _BWD_BUDGET_CACHE[mb]
 
 
-def _single_bwd_supported(C: int, F: int, E: int) -> bool:
-    return 2 * E * C * F * 4 <= _bwd_vmem_budget()
+def _single_bwd_supported(C: int, F: int, E: int, T: int | None = None) -> bool:
+    """Admit the single-kernel backward if its scoped-VMEM demand fits.
+
+    accum <= 4 MB (the C<=128 regime) is the historical gate, proven on
+    hardware at every batch size under Mosaic's default 16 MB limit.
+    Past that the limit must be raised (24 MB default), and under a
+    RAISED limit the compiler places the whole dx/dp result arrays in
+    VMEM (observed: chain-5 b128 compile, runs/r4_tpu_log5.txt — dx
+    f32[8192,256] and dp got S(1) memory space), so the demand grows
+    with T. Calibrated model vs the two hardware measurements at
+    C=256/F=1024/E=4: accum (2·E·C·F·4) + resident bf16 stacked weights
+    (2·E·C·F·2) + whole dx/dp (T·(C+128)·4) + 2 MB block double-buffer
+    margin → 20.9 MB at T=4096 (measured 18.79, fits 24) and 27.2 MB at
+    T=8192 (measured 26.81, exceeds 24 → XLA-recompute fallback instead
+    of a compile-time VMEM OOM)."""
+    accum = 2 * E * C * F * 4
+    if accum <= 4 * 1024 * 1024:
+        return True
+    budget = _bwd_vmem_budget()
+    if T is None:
+        return accum <= budget
+    est = accum + 2 * E * C * F * 2 + T * (C + 128) * 4 + 2 * 1024 * 1024
+    return est <= budget
 
 
 def _bwd_compiler_params():
@@ -977,7 +998,7 @@ def _fused_moe_bwd_v2(res, dout, dprobs, block_t: int):
     )
 
 
-def _v2_wanted(C: int, F: int, E: int) -> bool:
+def _v2_wanted(C: int, F: int, E: int, T: int | None = None) -> bool:
     import os
 
     mode = os.environ.get("MOEGAN_MOE_KERNEL", "auto")
@@ -989,8 +1010,9 @@ def _v2_wanted(C: int, F: int, E: int) -> bool:
         # fails at Mosaic compile time with a clear VMEM error).
         return True
     # auto: v2 only where the single-kernel backward's 2*C*(E*F) fp32
-    # accumulators (+ bf16 weight copies) fit the VMEM budget.
-    return _single_bwd_supported(C, F, E)
+    # accumulators (+ bf16 weight copies, + whole dx/dp when the Mosaic
+    # limit is raised — pass T from backward call sites) fit the budget.
+    return _single_bwd_supported(C, F, E, T)
 
 
 # ---------------------------------------------------------------------------
@@ -1430,9 +1452,9 @@ def _combine_vjp_bwd(block_t, res, dout):
     if (
         mode != "0"
         and _pallas_supported(x, bt)
-        and _single_bwd_supported(C, F, E)
+        and _single_bwd_supported(C, F, E, x.shape[0])
     ):
-        if _v2_wanted(C, F, E):
+        if _v2_wanted(C, F, E, x.shape[0]):
             return _combine_bwd_pallas_v2(res, dout, bt)
         return _combine_bwd_pallas(res, dout, bt)
     _, vjp = jax.vjp(moe_ffn_combine_reference, x, probs, w1, b1, w2, b2)
@@ -1510,9 +1532,9 @@ def _fused_bwd(hard, block_t, res, g):
             # VMEM; v1 single-kernel as fallback preference; XLA recompute
             # elsewhere (the 3-kernel path measured slower than XLA on the
             # big-C blocks, and compiling it wastes minutes of Mosaic time).
-            if _v2_wanted(C, F, E):
+            if _v2_wanted(C, F, E, x.shape[0]):
                 return _fused_moe_bwd_v2(res, dout, dprobs, bt)
-            if _single_bwd_supported(C, F, E):
+            if _single_bwd_supported(C, F, E, x.shape[0]):
                 return _fused_moe_bwd_single(res, dout, dprobs, bt)
         else:
             return _fused_moe_bwd_pallas(res, dout, dprobs, bt)

@@ -443,3 +443,20 @@ def test_combine_v2_matches_reference_fwd_and_bwd():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_single_bwd_vmem_gate_is_token_aware():
+    """Under a raised Mosaic limit the compiler keeps whole dx/dp in
+    VMEM, so C=256 admission must depend on T: the b64 res-8 shape
+    (T=4096) fits the 24 MB default, the b128 shape (T=8192) must fall
+    back to XLA recompute instead of a compile-time VMEM OOM
+    (chain-5 item c, runs/r4_tpu_log5.txt)."""
+    from moegan_tpu.ops import fused_moe as fm
+
+    # C<=128 regime: historical gate, admitted at any T.
+    assert fm._single_bwd_supported(128, 512, 4, 32768)
+    # C=256 needs the raised budget: T-dependent.
+    assert fm._single_bwd_supported(256, 1024, 4, 4096)
+    assert not fm._single_bwd_supported(256, 1024, 4, 8192)
+    # No T (forward kernel choice): accumulator-only check.
+    assert fm._single_bwd_supported(256, 1024, 4)
