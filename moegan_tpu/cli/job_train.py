@@ -74,6 +74,8 @@ def main(argv=None):
     os.makedirs(model_dir, exist_ok=True)
     final = os.path.join(model_dir, "aurora_model_final.msgpack")
     save_generator_params(final, state.g_params)
+    with open(os.path.join(model_dir, "generator_config.json"), "w") as f:
+        f.write(cfg.generator.to_json())
     print(f"saved {final}")
 
 

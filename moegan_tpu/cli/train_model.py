@@ -132,6 +132,10 @@ def main(argv=None):
     )
     final = os.path.join(args.save_dir, "aurora_model_final.msgpack")
     save_generator_params(final, state.g_params)
+    # Serving/sampling rebuild the architecture from this (else they
+    # infer it from param shapes — infer_generator_config).
+    with open(os.path.join(args.save_dir, "generator_config.json"), "w") as f:
+        f.write(cfg.generator.to_json())
     print(f"saved final generator to {final}")
     return state
 
