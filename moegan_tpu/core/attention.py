@@ -90,7 +90,10 @@ class MultiHeadAttention(nn.Module):
             # imgs/s in the round-3 sweep (runs/r3_tpu_log3.txt), then
             # 998.26 (2048) vs the 979-989 band (1024) at the round-4
             # reference-exact b64 bench (runs/r4_tpu_log6.txt item b; the
-            # [2048, D] k/v tiles are still only ~128 KB at D=32).
+            # [2048, D] k/v tiles are still only ~128 KB at D=32). 4096
+            # ends the trend: the backward's [block_q, block_k] fp32
+            # score/prob intermediates hit 18.58 MB > the 16 MB scoped
+            # limit (runs/r4_tpu_log9.txt).
             # block_q stays 256: 512 blows Mosaic's 16 MB scoped limit in
             # the backward at the res-64 shapes (16.79 MB, log6 item a).
             # MIN_T 256: with the reference-exact 8 heads at dim 128 the
