@@ -299,6 +299,37 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
 
 
+_FLASH_BWD_VMEM_CACHE: dict = {}
+
+
+def _bwd_compiler_params():
+    """Optional raised Mosaic scoped-VMEM limit for the flash backward
+    (MOEGAN_FLASH_BWD_VMEM_MB, same pattern as the MoE backward's
+    budget): block_q=512 / block_k=4096 each missed the default 16 MB
+    limit by <3 MB on hardware (runs/r4_tpu_log{6,9}.txt), so trials
+    need a knob. Default None = Mosaic's 16 MB heuristic. Caveat from
+    the MoE case: a raised limit can make the compiler place whole
+    result arrays in VMEM, so promote only after a hardware A/B."""
+    import os
+    import warnings
+
+    mb = os.environ.get("MOEGAN_FLASH_BWD_VMEM_MB")
+    if mb not in _FLASH_BWD_VMEM_CACHE:
+        params = None
+        if mb:
+            try:
+                params = pltpu.CompilerParams(
+                    vmem_limit_bytes=int(float(mb) * 1024 * 1024)
+                )
+            except ValueError:
+                warnings.warn(
+                    f"MOEGAN_FLASH_BWD_VMEM_MB={mb!r} is not a number; "
+                    "using the Mosaic default"
+                )
+        _FLASH_BWD_VMEM_CACHE[mb] = params
+    return _FLASH_BWD_VMEM_CACHE[mb]
+
+
 def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
@@ -350,6 +381,7 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
             bytes_accessed=2 * 4 * B * H * T * D + 8 * B * H * T * D,
             transcendentals=B * H * T * T,
         ),
+        compiler_params=_bwd_compiler_params(),
     )(qf, kf, vf, gf, of, lse)
     dk = dkf.astype(q.dtype)
     dv = dvf.astype(q.dtype)
