@@ -85,23 +85,26 @@ class MultiHeadAttention(nn.Module):
             from moegan_tpu.ops.flash_attention import flash_attention
 
             # Tile sizes tunable for perf experiments (trace-time env).
-            # block_k default 2048: each halving of the KV-loop trip
-            # count has won on hardware — 1142.6 (512) -> 1206.9 (1024)
-            # imgs/s in the round-3 sweep (runs/r3_tpu_log3.txt), then
-            # 998.26 (2048) vs the 979-989 band (1024) at the round-4
-            # reference-exact b64 bench (runs/r4_tpu_log6.txt item b; the
-            # [2048, D] k/v tiles are still only ~128 KB at D=32). 4096
-            # ends the trend: the backward's [block_q, block_k] fp32
-            # score/prob intermediates hit 18.58 MB > the 16 MB scoped
-            # limit (runs/r4_tpu_log9.txt).
-            # block_q stays 256: 512 blows Mosaic's 16 MB scoped limit in
-            # the backward at the res-64 shapes (16.79 MB, log6 item a).
+            # block_k default 4096 (single KV iteration at the res-64
+            # T=4096): every halving of the KV-loop trip count won on
+            # hardware — 1142.6 (512) -> 1206.9 (1024) in the round-3
+            # sweep (runs/r3_tpu_log3.txt), then 998.26 (2048,
+            # runs/r4_tpu_log6.txt) -> 1008.23 (4096, r4_tpu_log10.txt
+            # item b) at the round-4 reference-exact b64 bench. 4096
+            # needs the flash backward's raised 24 MB Mosaic limit (its
+            # [block_q, block_k] fp32 score intermediates are 18.58 MB >
+            # the 16 MB default, log9) — see
+            # ops/flash_attention.py::_bwd_compiler_params. Block shapes
+            # don't scale with batch (T is spatial), so no b128 trap.
+            # block_q stays 256: 512 is a measured loser — its demand
+            # expands with the limit (16.79 MB @ 16, 20.30 MB @ 20,
+            # log6/log10 item a) and never fits.
             # MIN_T 256: with the reference-exact 8 heads at dim 128 the
             # res-16 XLA path materializes fp32 [B,8,256,256] score/prob
             # tensors (134 MB at b64) per pass; the flash kernel keeps
             # them in VMEM even at T=256.
             bq_t = int(os.environ.get("MOEGAN_FLASH_BQ", "256"))
-            bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "2048"))
+            bk_t = int(os.environ.get("MOEGAN_FLASH_BK", "4096"))
             out = flash_attention(qh, kh, vh, bq_t, bk_t)
         else:
             # checkpoint: without it XLA saves the fp32 [B,H,T,T] score and

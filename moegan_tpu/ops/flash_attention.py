@@ -303,30 +303,34 @@ _FLASH_BWD_VMEM_CACHE: dict = {}
 
 
 def _bwd_compiler_params():
-    """Optional raised Mosaic scoped-VMEM limit for the flash backward
-    (MOEGAN_FLASH_BWD_VMEM_MB, same pattern as the MoE backward's
-    budget): block_q=512 / block_k=4096 each missed the default 16 MB
-    limit by <3 MB on hardware (runs/r4_tpu_log{6,9}.txt), so trials
-    need a knob. Default None = Mosaic's 16 MB heuristic. Caveat from
-    the MoE case: a raised limit can make the compiler place whole
-    result arrays in VMEM, so promote only after a hardware A/B."""
+    """Mosaic scoped-VMEM limit for the flash backward
+    (MOEGAN_FLASH_BWD_VMEM_MB override; same pattern as the MoE
+    backward's budget). Default 24 MB since the round-4 hardware A/B:
+    it admits the block_k=4096 single-KV-iteration backward (true
+    demand 18.58 MB > the 16 MB default heuristic) which benched
+    1008.23 imgs/s/chip vs 998.26 at block_k=2048
+    (runs/r4_tpu_log10.txt item b vs log6 item b). Unlike the MoE
+    case, flash block shapes don't scale with batch (T is spatial), so
+    the demand is batch-independent. block_q=512 stays rejected: its
+    demand expands with the limit (16.79 @ 16 MB -> 20.30 @ 20 MB) and
+    never fits."""
     import os
     import warnings
 
     mb = os.environ.get("MOEGAN_FLASH_BWD_VMEM_MB")
     if mb not in _FLASH_BWD_VMEM_CACHE:
-        params = None
+        budget = 24 * 1024 * 1024
         if mb:
             try:
-                params = pltpu.CompilerParams(
-                    vmem_limit_bytes=int(float(mb) * 1024 * 1024)
-                )
+                budget = int(float(mb) * 1024 * 1024)
             except ValueError:
                 warnings.warn(
                     f"MOEGAN_FLASH_BWD_VMEM_MB={mb!r} is not a number; "
-                    "using the Mosaic default"
+                    "using the default 24 MB"
                 )
-        _FLASH_BWD_VMEM_CACHE[mb] = params
+        _FLASH_BWD_VMEM_CACHE[mb] = pltpu.CompilerParams(
+            vmem_limit_bytes=budget
+        )
     return _FLASH_BWD_VMEM_CACHE[mb]
 
 
