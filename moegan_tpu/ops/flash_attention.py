@@ -35,6 +35,28 @@ from jax.experimental.pallas import tpu as pltpu
 from moegan_tpu.ops.chunked_attention import chunked_attention
 
 NEG_INF = -1e30
+LOG2E = math.log2(math.e)
+
+_EXP2_CACHE: dict = {}
+
+
+def _exp2_wanted() -> bool:
+    """Base-2 softmax: fold log2(e) into the score scale (free — the
+    scale multiply already exists on every [block_q, block_k] tile) and
+    use exp2/log2 throughout, saving the x*log2e VPU multiply inside
+    every exp on every score element, fwd and bwd. The step is VPU-bound
+    at the res-64 rung (README per-rung attribution: softmax work at
+    C=32 is of the same order as the useful MACs), so transcendental
+    shaving is on the critical path. The saved lse residual is in base-2
+    units; forward and backward read the same flag at trace time so the
+    pair can never disagree within one step. Opt-in via
+    MOEGAN_FLASH_EXP2=1 pending the hardware A/B."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_EXP2", "0")
+    if v not in _EXP2_CACHE:
+        _EXP2_CACHE[v] = v != "0"
+    return _EXP2_CACHE[v]
 
 
 # ---------------------------------------------------------------------------
@@ -43,7 +65,8 @@ NEG_INF = -1e30
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
-                sm_scale: float, compact_lse: bool = False):
+                sm_scale: float, compact_lse: bool = False,
+                use_exp2: bool = False):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
@@ -83,8 +106,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        if use_exp2:  # s already carries the log2e factor (see caller)
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(s - m_new)
+        else:
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
 
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
@@ -100,7 +127,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
     if lse_ref is not None:
-        lse = m + jnp.log(l)  # [block_q, 1]
+        # Base-2 lse when use_exp2 (the backward recomputes p in the
+        # same base, so the saved units just have to match the pair).
+        lse = m + (jnp.log2(l) if use_exp2 else jnp.log(l))  # [block_q, 1]
         if compact_lse:
             # Whole [T//block_q, block_q] block per bh; this program owns
             # row i (dynamic SUBLANE slice — supported, unlike the lane
@@ -163,7 +192,10 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
     HBM): [BH, T, 128] lane-broadcast, or [BH, T//block_q, block_q]
     compact (lane-packed per q-tile)."""
     B, T, H, D = q.shape
-    sm_scale = 1.0 / math.sqrt(D)
+    use_exp2 = _exp2_wanted()
+    # With exp2 the log2e factor folds into the (already-paid) score
+    # scale; the kernel then uses raw exp2 on the scaled scores.
+    sm_scale = (LOG2E if use_exp2 else 1.0) / math.sqrt(D)
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
@@ -184,7 +216,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
     )
     if not with_lse:
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale),
+            functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale,
+                              use_exp2=use_exp2),
             grid=grid,
             in_specs=in_specs,
             out_specs=o_spec,
@@ -210,7 +243,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
         lse_shape = jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32)
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, block_k=block_k, sm_scale=sm_scale, compact_lse=compact
+            _fwd_kernel, block_k=block_k, sm_scale=sm_scale,
+            compact_lse=compact, use_exp2=use_exp2,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -229,7 +263,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, block_k: int,
-                      sm_scale: float, compact_lse: bool = False):
+                      sm_scale: float, compact_lse: bool = False,
+                      use_exp2: bool = False):
     """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
     dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
     twice and fetched q/k/v/do twice — the same inefficiency the MoE
@@ -244,6 +279,12 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     t = k_ref.shape[0]
     n_kv = t // block_k
     i = pl.program_id(1)
+    # Scores (and the saved lse) are in base-2 units under use_exp2; the
+    # d(scores)/d(q,k) chain-rule factor is still the RAW 1/sqrt(D)
+    # because ds is d(loss)/d(s_natural) — the log2e factor cancels:
+    # p = exp2(s2 - lse2) is numerically the same p, and the score
+    # matmul's scale carries log2e only to keep the exp argument base-2.
+    score_scale = sm_scale * LOG2E if use_exp2 else sm_scale
 
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
@@ -266,8 +307,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale
-        p = jnp.exp(s - lse)  # [block_q, block_k]
+        ) * score_scale
+        p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)
 
         dp = jax.lax.dot_general(
             do.astype(v_blk.dtype), v_blk,
@@ -359,7 +400,8 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
 
     dq, dkf, dvf = pl.pallas_call(
         functools.partial(
-            _bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale, compact_lse=compact
+            _bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale,
+            compact_lse=compact, use_exp2=_exp2_wanted(),
         ),
         grid=(B * H, T // block_q),
         in_specs=[

@@ -96,6 +96,45 @@ def test_flash_backward_kernels_interpret(qkv):
         )
 
 
+@pytest.mark.parametrize("exp2", ["1", "0"])
+@pytest.mark.parametrize("multi_kv", [True, False])
+def test_flash_exp2_softmax_interpret(monkeypatch, exp2, multi_kv):
+    """Base-2 softmax (MOEGAN_FLASH_EXP2): log2e folds into the score
+    scale and exp2/log2 replace exp/log in BOTH kernels; the saved lse is
+    in base-2 units but the pair reads the same flag at trace time, so
+    outputs and all three gradients must be bit-compatible with the
+    natural-base path up to fp32 rounding. multi_kv=True exercises the
+    online-rescale arm (alpha = exp2(m_prev - m_new)); False the
+    single-KV-iteration arm (the production res-64 regime at
+    block_k=4096)."""
+    monkeypatch.setenv("MOEGAN_FLASH_EXP2", exp2)
+    k = jax.random.PRNGKey(7)
+    T = 256
+    shape = (2, T, 1, 16)
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+    block_k = 64 if multi_kv else T
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 128, block_k) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive(q, k, v) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, kk, v, 128, block_k)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, kk, v)), rtol=2e-5, atol=2e-5
+    )
+    g2 = jax.grad(loss_naive, argnums=(0, 1, 2))(q, kk, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
+
+
 @pytest.mark.parametrize("compact", ["1", "0"])
 @pytest.mark.parametrize("T", [256, 1024])
 def test_flash_compact_lse_interpret(monkeypatch, T, compact):
