@@ -38,22 +38,46 @@ NEG_INF = -1e30
 LOG2E = math.log2(math.e)
 
 _EXP2_CACHE: dict = {}
+_FUSED_L_CACHE: dict = {}
+
+
+def _fused_l_wanted() -> bool:
+    """Fold the softmax denominator into the PV matmul: append a ones
+    column to V inside the kernel so row i of p @ [v | 1] carries both
+    the weighted values AND l_i = sum_j p_ij. The cross-lane VPU
+    sum-reduce over every [block_q, block_k] score tile (a shuffle
+    cascade on TPU, one of ~4 VPU passes in the VPU-bound res-64
+    attention) becomes a free 33rd output lane of the already-paid MXU
+    dot (which uses 32 of 128 output lanes at C=32). The denominator is
+    then computed from the same bf16-quantized p the numerator uses —
+    strictly more self-consistent than the fp32 side-sum. Opt-in via
+    MOEGAN_FLASH_FUSED_L=1 pending the hardware A/B."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_FUSED_L", "0")
+    if v not in _FUSED_L_CACHE:
+        _FUSED_L_CACHE[v] = v != "0"
+    return _FUSED_L_CACHE[v]
 
 
 def _exp2_wanted() -> bool:
-    """Base-2 softmax: fold log2(e) into the score scale (free — the
-    scale multiply already exists on every [block_q, block_k] tile) and
-    use exp2/log2 throughout, saving the x*log2e VPU multiply inside
-    every exp on every score element, fwd and bwd. The step is VPU-bound
-    at the res-64 rung (README per-rung attribution: softmax work at
-    C=32 is of the same order as the useful MACs), so transcendental
-    shaving is on the critical path. The saved lse residual is in base-2
-    units; forward and backward read the same flag at trace time so the
-    pair can never disagree within one step. Opt-in via
-    MOEGAN_FLASH_EXP2=1 pending the hardware A/B."""
+    """Base-2 softmax: fold log2(e) into the q pre-scale (free — it rides
+    the same [T, D] multiply as 1/sqrt(D)) and use exp2/log2 throughout,
+    saving the x*log2e VPU multiply inside every exp on every score
+    element, fwd and bwd. The step is VPU-bound at the res-64 rung
+    (README per-rung attribution: softmax work at C=32 is of the same
+    order as the useful MACs), so transcendental shaving is on the
+    critical path. Default ON since the round-4 hardware A/B: 1010.05
+    imgs/s/chip (exp2) vs 995.20 (natural base) at the b64 flagship,
+    back-to-back runs (runs/r4_tpu_log13.txt). The saved lse residual is
+    in base-2 units; the flag is resolved ONCE at the public
+    flash_attention entry and threaded to both kernels as a static
+    custom_vjp argument, so the pair can never disagree — not even in
+    eager execution with the env var flipped mid-step. Opt out with
+    MOEGAN_FLASH_EXP2=0."""
     import os
 
-    v = os.environ.get("MOEGAN_FLASH_EXP2", "0")
+    v = os.environ.get("MOEGAN_FLASH_EXP2", "1")
     if v not in _EXP2_CACHE:
         _EXP2_CACHE[v] = v != "0"
     return _EXP2_CACHE[v]
@@ -65,9 +89,16 @@ def _exp2_wanted() -> bool:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
-                sm_scale: float, compact_lse: bool = False,
-                use_exp2: bool = False):
+                compact_lse: bool = False, use_exp2: bool = False,
+                fused_l: bool = False):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
+
+    q arrives PRE-SCALED by 1/sqrt(D) (times log2e under use_exp2): the
+    scale rides a [T, D] elementwise multiply outside the kernel instead
+    of a [block_q, block_k] VPU pass over every score tile — T*T vs T*D
+    elements, a 128x reduction at the res-64 shapes (T=4096, D=32).
+    torch's MultiheadAttention pre-scales q the same way, so this is
+    also the reference's numerics.
 
     q_ref: [block_q, D]; k_ref/v_ref: [T, D]; o_ref: [block_q, D];
     lse_ref: [block_q, 128] (logsumexp broadcast over lanes; col 0 used),
@@ -92,40 +123,79 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
     # Keep Q/K/V in storage dtype (bf16 in training) for single-pass MXU
     # matmuls; accumulate fp32 via preferred_element_type.
     q = q_ref[:]
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
-
-        s = jax.lax.dot_general(
-            q, k_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [block_q, block_k] fp32
-
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        if use_exp2:  # s already carries the log2e factor (see caller)
-            alpha = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s - m_new)
-        else:
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+    if fused_l:
+        # Denominator rides the PV matmul: v gains a ones column, so
+        # acc[:, d] accumulates l with the identical alpha rescale, and
+        # the per-tile cross-lane sum-reduce disappears (see
+        # _fused_l_wanted). The concat is a [block_k, d+1] VMEM copy per
+        # tile — block_q/(d+1) times cheaper than the reduce it replaces.
+        def body(i, carry):
+            acc, m_prev = carry
+            k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+            v_aug = jnp.concatenate(
+                [v_blk, jnp.ones((block_k, 1), v_blk.dtype)], axis=1
+            )
+
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_q, block_k] fp32; scale already folded into q
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            if use_exp2:
+                alpha = jnp.exp2(m_prev - m_new)
+                p = jnp.exp2(s - m_new)
+            else:
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_aug.dtype), v_aug,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new
+
+        acc0 = jnp.zeros((block_q, d + 1), jnp.float32)
+        acc, m = jax.lax.fori_loop(0, n_kv, body, (acc0, m0))
+        l = acc[:, d:]
+        o_ref[:] = (acc[:, :d] / l).astype(o_ref.dtype)
+    else:
+        def body(i, carry):
+            acc, m_prev, l_prev = carry
+            k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_q, block_k] fp32; scale already folded into q
+
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            if use_exp2:  # s already carries the log2e factor (see caller)
+                alpha = jnp.exp2(m_prev - m_new)
+                p = jnp.exp2(s - m_new)
+            else:
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+        o_ref[:] = (acc / l).astype(o_ref.dtype)
     if lse_ref is not None:
         # Base-2 lse when use_exp2 (the backward recomputes p in the
         # same base, so the saved units just have to match the pair).
@@ -186,21 +256,22 @@ def _compact_lse_wanted(block_q: int) -> bool:
     )
 
 
-def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = False):
+def _flash_forward(q, k, v, *, block_q: int, block_k: int,
+                   with_lse: bool = False, use_exp2: bool = False):
     """with_lse=True additionally returns the logsumexp in the layout the
     backward consumes AS-IS (no slice/re-broadcast round-trip through
     HBM): [BH, T, 128] lane-broadcast, or [BH, T//block_q, block_q]
     compact (lane-packed per q-tile)."""
     B, T, H, D = q.shape
-    use_exp2 = _exp2_wanted()
-    # With exp2 the log2e factor folds into the (already-paid) score
-    # scale; the kernel then uses raw exp2 on the scaled scores.
+    # 1/sqrt(D) (and log2e under exp2) folds into q OUTSIDE the kernel:
+    # a [T, D] multiply (XLA fuses it into the fold transpose) instead of
+    # a [block_q, block_k] VPU pass per score tile inside.
     sm_scale = (LOG2E if use_exp2 else 1.0) / math.sqrt(D)
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
 
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    qf, kf, vf = (fold(q) * jnp.asarray(sm_scale, q.dtype)), fold(k), fold(v)
 
     grid = (B * H, T // block_q)
     in_specs = [
@@ -214,10 +285,11 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
         bytes_accessed=(4 * B * H * T * D) * 2,
         transcendentals=B * H * T * T,
     )
+    fused_l = _fused_l_wanted()
     if not with_lse:
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, block_k=block_k, sm_scale=sm_scale,
-                              use_exp2=use_exp2),
+            functools.partial(_fwd_kernel, block_k=block_k, use_exp2=use_exp2,
+                              fused_l=fused_l),
             grid=grid,
             in_specs=in_specs,
             out_specs=o_spec,
@@ -243,8 +315,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
         lse_shape = jax.ShapeDtypeStruct((B * H, T, 128), jnp.float32)
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, block_k=block_k, sm_scale=sm_scale,
-            compact_lse=compact, use_exp2=use_exp2,
+            _fwd_kernel, block_k=block_k,
+            compact_lse=compact, use_exp2=use_exp2, fused_l=fused_l,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -263,8 +335,8 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int, with_lse: bool = Fals
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, block_k: int,
-                      sm_scale: float, compact_lse: bool = False,
-                      use_exp2: bool = False):
+                      dq_scale: float, dk_scale: float,
+                      compact_lse: bool = False, use_exp2: bool = False):
     """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
     dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
     twice and fetched q/k/v/do twice — the same inefficiency the MoE
@@ -279,12 +351,16 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     t = k_ref.shape[0]
     n_kv = t // block_k
     i = pl.program_id(1)
-    # Scores (and the saved lse) are in base-2 units under use_exp2; the
-    # d(scores)/d(q,k) chain-rule factor is still the RAW 1/sqrt(D)
-    # because ds is d(loss)/d(s_natural) — the log2e factor cancels:
-    # p = exp2(s2 - lse2) is numerically the same p, and the score
-    # matmul's scale carries log2e only to keep the exp argument base-2.
-    score_scale = sm_scale * LOG2E if use_exp2 else sm_scale
+    # q arrives PRE-SCALED by 1/sqrt(D)*(log2e under exp2) — see
+    # _fwd_kernel — so the score recompute is a bare matmul and the saved
+    # lse (base-2 under exp2) matches. ds = p*(dp-delta) is
+    # d(loss)/d(s_natural): p = exp2(s2 - lse2) is numerically the same p
+    # either way. The chain rule back to RAW q/k then needs
+    #   dq_raw = dq_scale * sum_j ds k_j          (dq_scale = 1/sqrt(D))
+    #   dk_raw = dk_scale * sum_i ds q_pre_i      (dk_scale = 1/sqrt(D)/pre
+    #            = ln2 under exp2, 1.0 otherwise — the pre-scale already
+    #            carries 1/sqrt(D), so the non-exp2 path drops the
+    #            per-iteration [block_k, D] multiply entirely).
 
     q = q_ref[:]
     do = do_ref[:].astype(jnp.float32)
@@ -307,7 +383,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * score_scale
+        )  # scale pre-folded into q
         p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)
 
         dp = jax.lax.dot_general(
@@ -322,13 +398,14 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dv_ref.dtype)
-        dk_ref[pl.ds(j * block_k, block_k), :] += (
-            jax.lax.dot_general(
-                ds.astype(q.dtype), q,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale
-        ).astype(dk_ref.dtype)
+        dk_blk = jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dk_scale != 1.0:
+            dk_blk = dk_blk * dk_scale
+        dk_ref[pl.ds(j * block_k, block_k), :] += dk_blk.astype(dk_ref.dtype)
 
         return dq_acc + jax.lax.dot_general(
             ds.astype(k_blk.dtype), k_blk,
@@ -337,7 +414,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         )
 
     dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((block_q, d), jnp.float32))
-    dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
+    dq_ref[:] = (dq * dq_scale).astype(dq_ref.dtype)
 
 
 _FLASH_BWD_VMEM_CACHE: dict = {}
@@ -375,14 +452,20 @@ def _bwd_compiler_params():
     return _FLASH_BWD_VMEM_CACHE[mb]
 
 
-def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
+def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int,
+                    use_exp2: bool = False):
     B, T, H, D = q.shape
     sm_scale = 1.0 / math.sqrt(D)
+    # Same q pre-scale as the forward so the score recompute matches the
+    # saved lse; the chain rule back to raw q/k is handled by
+    # dq_scale/dk_scale inside the kernel (see _bwd_fused_kernel).
+    pre = (LOG2E if use_exp2 else 1.0) * sm_scale
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
 
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
+    qf = qf * jnp.asarray(pre, q.dtype)
 
     # lse layout is whatever the forward saved: [BH, T, 128]
     # lane-broadcast or [BH, T//block_q, block_q] compact (shape-detected
@@ -400,8 +483,9 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
 
     dq, dkf, dvf = pl.pallas_call(
         functools.partial(
-            _bwd_fused_kernel, block_k=block_k, sm_scale=sm_scale,
-            compact_lse=compact, use_exp2=_exp2_wanted(),
+            _bwd_fused_kernel, block_k=block_k, dq_scale=sm_scale,
+            dk_scale=(math.log(2.0) if use_exp2 else 1.0),
+            compact_lse=compact, use_exp2=use_exp2,
         ),
         grid=(B * H, T // block_q),
         in_specs=[
@@ -443,22 +527,30 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
     """Fused attention: [B, T, H, D] x3 -> [B, T, H, D].
 
     Falls back to the chunked XLA path when shapes don't tile or when not
     running on TPU (e.g. CPU tests).
 
-    The primal (this function — what runs in inference and in
-    gradient-free forwards like the D-phase fresh fake) uses the
-    no-lse kernel variant; only the VJP forward rule pays the lse write.
-    """
+    The primal (what runs in inference and in gradient-free forwards like
+    the D-phase fresh fake) uses the no-lse kernel variant; only the VJP
+    forward rule pays the lse write. The base-2-softmax flag is resolved
+    HERE, once per call, and bound as a static custom_vjp argument so the
+    forward's saved lse and the backward's exp can never disagree on the
+    base — even in eager execution with MOEGAN_FLASH_EXP2 flipped between
+    the forward and the backward of one step."""
+    return _flash_attention(q, k, v, block_q, block_k, _exp2_wanted())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, block_q: int, block_k: int, use_exp2: bool):
     block_q = min(block_q, q.shape[1])
     block_k = min(block_k, k.shape[1])
     if not _supported(q, block_q, block_k):
         return chunked_attention(q, k, v)
-    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k, with_lse=False)
+    return _flash_forward(q, k, v, block_q=block_q, block_k=block_k,
+                          with_lse=False, use_exp2=use_exp2)
 
 
 def _supported(q, block_q, block_k) -> bool:
@@ -468,18 +560,19 @@ def _supported(q, block_q, block_k) -> bool:
     return T % block_q == 0 and T % block_k == 0 and D % 8 == 0 and D <= 256
 
 
-def _flash_fwd_rule(q, k, v, block_q, block_k):
-    """VJP forward: also emits the lane-broadcast lse ([BH, T, 128]) the
-    fused backward consumes directly (lse=None marks the fallback path)."""
+def _flash_fwd_rule(q, k, v, block_q, block_k, use_exp2):
+    """VJP forward: also emits the lse in the layout the fused backward
+    consumes directly (lse=None marks the fallback path)."""
     block_q = min(block_q, q.shape[1])
     block_k = min(block_k, k.shape[1])
     if not _supported(q, block_q, block_k):
         return chunked_attention(q, k, v), (q, k, v, None, None)
-    out, lse = _flash_forward(q, k, v, block_q=block_q, block_k=block_k, with_lse=True)
+    out, lse = _flash_forward(q, k, v, block_q=block_q, block_k=block_k,
+                              with_lse=True, use_exp2=use_exp2)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(block_q, block_k, res, g):
+def _flash_bwd_rule(block_q, block_k, use_exp2, res, g):
     q, k, v, o, lse = res
     if lse is None:  # fallback path: recompute via chunked XLA
         _, vjp = jax.vjp(lambda q_, k_, v_: chunked_attention(q_, k_, v_), q, k, v)
@@ -487,10 +580,11 @@ def _flash_bwd_rule(block_q, block_k, res, g):
     return _flash_backward(
         q, k, v, o, lse, g,
         block_q=min(block_q, q.shape[1]), block_k=min(block_k, k.shape[1]),
+        use_exp2=use_exp2,
     )
 
 
-flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 # Backwards-compat alias used by older tests.
 _flash_fwd_kernel = None  # replaced by _fwd_kernel (new signature with lse)

@@ -135,6 +135,69 @@ def test_flash_exp2_softmax_interpret(monkeypatch, exp2, multi_kv):
         )
 
 
+@pytest.mark.parametrize("fused_l", ["1", "0"])
+@pytest.mark.parametrize("multi_kv", [True, False])
+def test_flash_fused_l_interpret(monkeypatch, fused_l, multi_kv):
+    """MOEGAN_FLASH_FUSED_L folds the softmax denominator into the PV
+    matmul (ones column appended to V inside the kernel); outputs and all
+    three gradients must match the separate-sum formulation. multi_kv
+    exercises the online alpha-rescale of the fused accumulator."""
+    monkeypatch.setenv("MOEGAN_FLASH_FUSED_L", fused_l)
+    fa._FUSED_L_CACHE.clear()
+    k = jax.random.PRNGKey(5)
+    T = 256
+    shape = (2, T, 1, 16)
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+    block_k = 64 if multi_kv else T
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 128, block_k) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, kk, v, 128, block_k)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, kk, v)), rtol=2e-5, atol=2e-5
+    )
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(naive(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, kk, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_flash_exp2_env_flip_between_fwd_and_bwd(monkeypatch):
+    """The exp2 flag is bound ONCE at the flash_attention call as a static
+    custom_vjp argument — flipping MOEGAN_FLASH_EXP2 between the eager
+    forward (which saves the lse in the flag's base) and the backward
+    (which re-exponentiates against it) must NOT corrupt gradients (the
+    round-4 advisor finding: re-reading the env var at backward trace time
+    consumed a base-2 lse as natural-log)."""
+    monkeypatch.setenv("MOEGAN_FLASH_EXP2", "1")
+    k = jax.random.PRNGKey(11)
+    shape = (2, 128, 1, 16)
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out, vjp = jax.vjp(
+            lambda q_: fa.flash_attention(q_, kk, v, 128, 64), q
+        )
+        # Flip the env var AFTER the forward saved its (base-2) lse.
+        monkeypatch.setenv("MOEGAN_FLASH_EXP2", "0")
+        fa._EXP2_CACHE.clear()
+        (dq,) = vjp(jnp.ones_like(out))
+    dq_ref = jax.grad(lambda q_: jnp.sum(naive(q_, kk, v)))(q)
+    np.testing.assert_allclose(
+        np.asarray(dq), np.asarray(dq_ref), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.parametrize("compact", ["1", "0"])
 @pytest.mark.parametrize("T", [256, 1024])
 def test_flash_compact_lse_interpret(monkeypatch, T, compact):
