@@ -50,11 +50,14 @@ def _fused_l_wanted() -> bool:
     attention) becomes a free 33rd output lane of the already-paid MXU
     dot (which uses 32 of 128 output lanes at C=32). The denominator is
     then computed from the same bf16-quantized p the numerator uses —
-    strictly more self-consistent than the fp32 side-sum. Opt-in via
-    MOEGAN_FLASH_FUSED_L=1 pending the hardware A/B."""
+    strictly more self-consistent than the fp32 side-sum. Default ON
+    since the round-5 2x2 hardware A/B (runs/r5_tpu_log2.txt, b64
+    flagship): fused_l=1 won both its cells — 1030.05 (exp2) / 1022.36
+    (natural) vs 996.26 / 1023.48 with fused_l=0. Opt out with
+    MOEGAN_FLASH_FUSED_L=0."""
     import os
 
-    v = os.environ.get("MOEGAN_FLASH_FUSED_L", "0")
+    v = os.environ.get("MOEGAN_FLASH_FUSED_L", "1")
     if v not in _FUSED_L_CACHE:
         _FUSED_L_CACHE[v] = v != "0"
     return _FUSED_L_CACHE[v]
@@ -69,7 +72,12 @@ def _exp2_wanted() -> bool:
     order as the useful MACs), so transcendental shaving is on the
     critical path. Default ON since the round-4 hardware A/B: 1010.05
     imgs/s/chip (exp2) vs 995.20 (natural base) at the b64 flagship,
-    back-to-back runs (runs/r4_tpu_log13.txt). The saved lse residual is
+    back-to-back runs (runs/r4_tpu_log13.txt). Round-5 caveat: with the
+    q pre-scale landed (which absorbed the multiply exp2 piggybacked
+    on), the 2x2 A/B (runs/r5_tpu_log2.txt) shows exp2's edge only
+    survives under fused_l=1 — 1030.05 vs 1022.36 there, but 996.26 vs
+    1023.48 under fused_l=0 — so exp2 stays default-ON alongside the
+    fused_l=1 default. The saved lse residual is
     in base-2 units; the flag is resolved ONCE at the public
     flash_attention entry and threaded to both kernels as a static
     custom_vjp argument, so the pair can never disagree — not even in
