@@ -53,8 +53,10 @@ def _fused_l_wanted() -> bool:
     strictly more self-consistent than the fp32 side-sum. Default ON
     since the round-5 2x2 hardware A/B (runs/r5_tpu_log2.txt, b64
     flagship): fused_l=1 won both its cells — 1030.05 (exp2) / 1022.36
-    (natural) vs 996.26 / 1023.48 with fused_l=0. Opt out with
-    MOEGAN_FLASH_FUSED_L=0."""
+    (natural) vs 996.26 / 1023.48 with fused_l=0. Replicated by the
+    chain-3 queue (runs/r5_tpu_log3.txt): 1024.55 / 1026.5 at full
+    defaults, so the promoted build sits at 1025-1030 imgs/s/chip.
+    Opt out with MOEGAN_FLASH_FUSED_L=0."""
     import os
 
     v = os.environ.get("MOEGAN_FLASH_FUSED_L", "1")
@@ -77,7 +79,11 @@ def _exp2_wanted() -> bool:
     on), the 2x2 A/B (runs/r5_tpu_log2.txt) shows exp2's edge only
     survives under fused_l=1 — 1030.05 vs 1022.36 there, but 996.26 vs
     1023.48 under fused_l=0 — so exp2 stays default-ON alongside the
-    fused_l=1 default. The saved lse residual is
+    fused_l=1 default. Chain-3 replication under fused_l=1 (2 more
+    runs per arm, runs/r5_tpu_log3.txt): exp2=1 1024.55/1026.5 vs
+    exp2=0 1023.56/1026.82 — the edge is within the noise band but
+    never negative across 3 pairings, and the math is identical, so
+    the default stands on the round-4/chain-2 evidence. The saved lse residual is
     in base-2 units; the flag is resolved ONCE at the public
     flash_attention entry and threaded to both kernels as a static
     custom_vjp argument, so the pair can never disagree — not even in
