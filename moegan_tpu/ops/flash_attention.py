@@ -39,6 +39,31 @@ LOG2E = math.log2(math.e)
 
 _EXP2_CACHE: dict = {}
 _FUSED_L_CACHE: dict = {}
+_NOMAX_CACHE: dict = {}
+
+
+def _nomax_wanted() -> bool:
+    """EXPERIMENT (opt-in): drop the online row-max from the forward
+    softmax. Softmax is shift-invariant, so p = exp2(s) (no max subtract)
+    followed by the l-normalization is the same real-number function; in
+    fp32 the shift by a power of two is exact, so the only behavioral
+    change is the RANGE: p overflows to inf when a base-2 score exceeds
+    ~128 (natural logit ~88 — far outside anything a trained attention
+    produces, and the train step's non-finite guard skips such an update)
+    and a row whose every score is below ~-126 underflows to l=0 (guarded
+    by an l floor -> o=0 instead of NaN). What it buys: the row-max
+    reduce AND the broadcast subtract disappear from every
+    [block_q, block_k] score tile — 2 of the ~4 VPU passes in the
+    VPU-bound res-64 forward (the backward never computes a max; it
+    subtracts the saved lse, which this mode saves as plain log2(l)).
+    Default OFF pending the hardware A/B. Enable with
+    MOEGAN_FLASH_NOMAX=1."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_NOMAX", "0")
+    if v not in _NOMAX_CACHE:
+        _NOMAX_CACHE[v] = v == "1"
+    return _NOMAX_CACHE[v]
 
 
 def _fused_l_wanted() -> bool:
@@ -104,7 +129,7 @@ def _exp2_wanted() -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
                 compact_lse: bool = False, use_exp2: bool = False,
-                fused_l: bool = False):
+                fused_l: bool = False, no_max: bool = False):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
     q arrives PRE-SCALED by 1/sqrt(D) (times log2e under use_exp2): the
@@ -158,6 +183,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [block_q, block_k] fp32; scale already folded into q
+            if no_max:
+                # Shift-free softmax (see _nomax_wanted): no row-max, no
+                # subtract, no alpha rescale — plain accumulation.
+                p = jnp.exp2(s) if use_exp2 else jnp.exp(s)
+                acc = acc + jax.lax.dot_general(
+                    p.astype(v_aug.dtype), v_aug,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return acc, m_prev
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             if use_exp2:
@@ -174,9 +209,38 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
             return acc, m_new
 
         acc0 = jnp.zeros((block_q, d + 1), jnp.float32)
+        if no_max:
+            m0 = jnp.zeros((block_q, 1), jnp.float32)
         acc, m = jax.lax.fori_loop(0, n_kv, body, (acc0, m0))
         l = acc[:, d:]
+        if no_max:  # all-underflow row -> o = 0, never 0/0
+            l = jnp.maximum(l, 1e-30)
         o_ref[:] = (acc[:, :d] / l).astype(o_ref.dtype)
+    elif no_max:
+        def body(i, carry):
+            acc, l_prev = carry
+            k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+            v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp2(s) if use_exp2 else jnp.exp(s)
+            l_new = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, l_new
+
+        acc0 = jnp.zeros((block_q, d), jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc, l = jax.lax.fori_loop(0, n_kv, body, (acc0, l0))
+        m = jnp.zeros((block_q, 1), jnp.float32)
+        l = jnp.maximum(l, 1e-30)
+        o_ref[:] = (acc / l).astype(o_ref.dtype)
     else:
         def body(i, carry):
             acc, m_prev, l_prev = carry
@@ -300,10 +364,11 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int,
         transcendentals=B * H * T * T,
     )
     fused_l = _fused_l_wanted()
+    no_max = _nomax_wanted()
     if not with_lse:
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, block_k=block_k, use_exp2=use_exp2,
-                              fused_l=fused_l),
+                              fused_l=fused_l, no_max=no_max),
             grid=grid,
             in_specs=in_specs,
             out_specs=o_spec,
@@ -331,6 +396,7 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int,
         functools.partial(
             _fwd_kernel, block_k=block_k,
             compact_lse=compact, use_exp2=use_exp2, fused_l=fused_l,
+            no_max=no_max,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -170,6 +170,45 @@ def test_flash_fused_l_interpret(monkeypatch, fused_l, multi_kv):
         )
 
 
+@pytest.mark.parametrize("exp2", ["1", "0"])
+@pytest.mark.parametrize("fused_l", ["1", "0"])
+@pytest.mark.parametrize("multi_kv", [True, False])
+def test_flash_nomax_interpret(monkeypatch, exp2, fused_l, multi_kv):
+    """MOEGAN_FLASH_NOMAX drops the online row-max (shift-free softmax):
+    outputs and all three gradients must match the naive reference for
+    in-range scores, in both bases, with and without the fused
+    denominator, single- and multi-KV-iteration."""
+    monkeypatch.setenv("MOEGAN_FLASH_NOMAX", "1")
+    monkeypatch.setenv("MOEGAN_FLASH_EXP2", exp2)
+    monkeypatch.setenv("MOEGAN_FLASH_FUSED_L", fused_l)
+    fa._NOMAX_CACHE.clear()
+    fa._FUSED_L_CACHE.clear()
+    k = jax.random.PRNGKey(11)
+    T = 256
+    shape = (2, T, 1, 16)
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+    block_k = 64 if multi_kv else T
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 128, block_k) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, kk, v, 128, block_k)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, kk, v)), rtol=2e-5, atol=2e-5
+    )
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(naive(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, kk, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
+
+
 def test_flash_exp2_env_flip_between_fwd_and_bwd(monkeypatch):
     """The exp2 flag is bound ONCE at the flash_attention call as a static
     custom_vjp argument — flipping MOEGAN_FLASH_EXP2 between the eager
