@@ -40,6 +40,74 @@ LOG2E = math.log2(math.e)
 _EXP2_CACHE: dict = {}
 _FUSED_L_CACHE: dict = {}
 _NOMAX_CACHE: dict = {}
+_DV_BF16_CACHE: dict = {}
+_AUGSUB_CACHE: dict = {}
+_PBF16_CACHE: dict = {}
+
+
+def _dv_bf16_wanted() -> bool:
+    """EXPERIMENT (opt-in): run the backward's dv matmul in the storage
+    dtype instead of fp32. The kernel upcasts do to fp32 for the delta
+    row-sum, and dv = p^T @ do inherited that fp32 operand — making it
+    the ONE fp32 MXU dot in the whole fwd+bwd path (fp32 matmul is ~4x
+    the MXU passes of bf16 on v5e at the same fill). The numerics delta
+    is p alone: do's fp32 mantissas ARE its bf16 inputs (exact upcast),
+    so quantizing do back is lossless; p however is currently fed at
+    fp32 precision while the FORWARD's PV dot already quantizes the same
+    p to bf16 — this flag makes the backward match the forward's
+    precision instead of exceeding it. Default OFF pending the hardware
+    A/B. Enable with MOEGAN_FLASH_DV_BF16=1."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_DV_BF16", "0")
+    if v not in _DV_BF16_CACHE:
+        _DV_BF16_CACHE[v] = v == "1"
+    return _DV_BF16_CACHE[v]
+
+
+def _augsub_wanted() -> bool:
+    """EXPERIMENT (opt-in): fold the backward's two broadcast subtracts
+    into the MXU dots via augmented columns. p = exp(s - lse) and
+    ds = p * (dp - delta) each pay a [block_q, block_k] VPU subtract per
+    score tile; appending -lse as a 33rd column of q (against a ones
+    column on k) and delta as a 33rd column of do (against a -ones
+    column on v) computes s' = q.k - lse and dp' = do.v - delta inside
+    the already-paid matmuls — K grows 32 -> 33, free at the C=32 25%
+    MXU fill (K pads to 128 regardless). Cost: lse and delta are
+    quantized to the storage dtype (bf16) instead of fp32 — the same
+    order of rounding the bf16 q.k inputs already impose on s. The
+    column concats are once per (program, kv-tile) on [*, D] operands —
+    block_q/(D+1) times smaller than the subtracts they replace.
+    Default OFF pending the hardware A/B. Enable with
+    MOEGAN_FLASH_AUGSUB=1."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_AUGSUB", "0")
+    if v not in _AUGSUB_CACHE:
+        _AUGSUB_CACHE[v] = v == "1"
+    return _AUGSUB_CACHE[v]
+
+
+def _pbf16_wanted() -> bool:
+    """EXPERIMENT (opt-in): compute softmax probabilities in bf16. The
+    MXU emits the score tile in bf16 (preferred_element_type — the fp32
+    accumulator is converted on drain, no VPU pass) and exp2 runs on
+    bf16 vectors, which Mosaic can pack 2-per-lane; the p -> bf16 cast
+    before the PV dot disappears because p is BORN bf16. The forward's p
+    was already quantized to bf16 for the PV matmul, so the only new
+    rounding is s itself (|s| <~ 30 in base-2 units -> absolute error
+    <~ 0.06 -> p relative error <~ 4% worst-case, ~0.4% typical) — a
+    numerics CHANGE, gated off by default; promote only with a hardware
+    win AND a convergence check. Forward applies under NOMAX only (the
+    online-max paths mix fp32 running maxima into the same vectors);
+    the backward (which never computes a max) applies unconditionally.
+    Enable with MOEGAN_FLASH_PBF16=1."""
+    import os
+
+    v = os.environ.get("MOEGAN_FLASH_PBF16", "0")
+    if v not in _PBF16_CACHE:
+        _PBF16_CACHE[v] = v == "1"
+    return _PBF16_CACHE[v]
 
 
 def _nomax_wanted() -> bool:
@@ -129,7 +197,8 @@ def _exp2_wanted() -> bool:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
                 compact_lse: bool = False, use_exp2: bool = False,
-                fused_l: bool = False, no_max: bool = False):
+                fused_l: bool = False, no_max: bool = False,
+                pbf16: bool = False):
     """One (batch*head, q-tile) program: online softmax over kv tiles.
 
     q arrives PRE-SCALED by 1/sqrt(D) (times log2e under use_exp2): the
@@ -181,8 +250,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [block_q, block_k] fp32; scale already folded into q
+                # pbf16 (only reachable with no_max): the MXU drains its
+                # fp32 accumulator straight to bf16 and exp2 runs packed.
+                preferred_element_type=(jnp.bfloat16 if pbf16 else jnp.float32),
+            )  # [block_q, block_k]; scale already folded into q
             if no_max:
                 # Shift-free softmax (see _nomax_wanted): no row-max, no
                 # subtract, no alpha rescale — plain accumulation.
@@ -224,10 +295,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(jnp.bfloat16 if pbf16 else jnp.float32),
             )
             p = jnp.exp2(s) if use_exp2 else jnp.exp(s)
-            l_new = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            l_new = l_prev + jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
             acc = acc + jax.lax.dot_general(
                 p.astype(v_blk.dtype), v_blk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -365,10 +436,11 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int,
     )
     fused_l = _fused_l_wanted()
     no_max = _nomax_wanted()
+    pbf16 = _pbf16_wanted() and no_max  # fwd pbf16 requires the shift-free path
     if not with_lse:
         out = pl.pallas_call(
             functools.partial(_fwd_kernel, block_k=block_k, use_exp2=use_exp2,
-                              fused_l=fused_l, no_max=no_max),
+                              fused_l=fused_l, no_max=no_max, pbf16=pbf16),
             grid=grid,
             in_specs=in_specs,
             out_specs=o_spec,
@@ -396,7 +468,7 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int,
         functools.partial(
             _fwd_kernel, block_k=block_k,
             compact_lse=compact, use_exp2=use_exp2, fused_l=fused_l,
-            no_max=no_max,
+            no_max=no_max, pbf16=pbf16,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -416,7 +488,9 @@ def _flash_forward(q, k, v, *, block_q: int, block_k: int,
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, block_k: int,
                       dq_scale: float, dk_scale: float,
-                      compact_lse: bool = False, use_exp2: bool = False):
+                      compact_lse: bool = False, use_exp2: bool = False,
+                      dv_bf16: bool = False, augsub: bool = False,
+                      pbf16: bool = False):
     """ONE backward kernel per (bh, q-tile): a single s/p recompute feeds
     dq AND the dk/dv accumulation (the two-kernel split recomputed s/p
     twice and fetched q/k/v/do twice — the same inefficiency the MoE
@@ -443,13 +517,25 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     #            per-iteration [block_k, D] multiply entirely).
 
     q = q_ref[:]
-    do = do_ref[:].astype(jnp.float32)
+    do_lp = do_ref[:]  # storage dtype (bf16 in training)
+    do = do_lp.astype(jnp.float32)
     if compact_lse:
         # Row i of the whole lane-packed block -> [block_q, 1] column.
         lse = _to_sublanes(lse_ref[pl.ds(i, 1), :])
     else:
         lse = lse_ref[:, :1]
     delta = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
+
+    if augsub:
+        # -lse rides q as a 33rd column (against ones on k) and delta
+        # rides do (against -ones on v): the two [block_q, block_k]
+        # broadcast subtracts move into the matmuls' padded K lanes
+        # (see _augsub_wanted; lse/delta are quantized to storage dtype).
+        q_aug = jnp.concatenate([q, (-lse).astype(q.dtype)], axis=1)
+        do_aug = jnp.concatenate([do_lp, delta.astype(do_lp.dtype)], axis=1)
+    # dv operand precision (see _dv_bf16_wanted): bf16 restores the full
+    # MXU rate and matches the forward PV dot's own p quantization.
+    dv_rhs = do_lp if dv_bf16 else do
 
     @pl.when(i == 0)
     def _():
@@ -460,21 +546,43 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         k_blk = k_ref[pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[pl.ds(j * block_k, block_k), :]
 
-        s = jax.lax.dot_general(
-            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # scale pre-folded into q
-        p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)
-
-        dp = jax.lax.dot_general(
-            do.astype(v_blk.dtype), v_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)
+        s_pref = jnp.bfloat16 if pbf16 else jnp.float32
+        if augsub:
+            k_aug = jnp.concatenate(
+                [k_blk, jnp.ones((block_k, 1), k_blk.dtype)], axis=1
+            )
+            v_aug = jnp.concatenate(
+                [v_blk, -jnp.ones((block_k, 1), v_blk.dtype)], axis=1
+            )
+            sm = jax.lax.dot_general(
+                q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=s_pref,
+            )  # = q.k - lse, scale pre-folded into q
+            p = jnp.exp2(sm) if use_exp2 else jnp.exp(sm)
+            dp = jax.lax.dot_general(
+                do_aug.astype(v_blk.dtype), v_aug,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # = do.v - delta
+            ds = p * dp
+        else:
+            s = jax.lax.dot_general(
+                q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # scale pre-folded into q
+            sm = s - lse
+            if pbf16:
+                sm = sm.astype(jnp.bfloat16)
+            p = jnp.exp2(sm) if use_exp2 else jnp.exp(sm)
+            dp = jax.lax.dot_general(
+                do.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)
 
         dv_ref[pl.ds(j * block_k, block_k), :] += jax.lax.dot_general(
-            p.astype(do.dtype), do,
+            p.astype(dv_rhs.dtype), dv_rhs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dv_ref.dtype)
@@ -566,6 +674,8 @@ def _flash_backward(q, k, v, o, lse, g, *, block_q: int, block_k: int,
             _bwd_fused_kernel, block_k=block_k, dq_scale=sm_scale,
             dk_scale=(math.log(2.0) if use_exp2 else 1.0),
             compact_lse=compact, use_exp2=use_exp2,
+            dv_bf16=_dv_bf16_wanted(), augsub=_augsub_wanted(),
+            pbf16=_pbf16_wanted(),
         ),
         grid=(B * H, T // block_q),
         in_specs=[

@@ -209,6 +209,68 @@ def test_flash_nomax_interpret(monkeypatch, exp2, fused_l, multi_kv):
         )
 
 
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"MOEGAN_FLASH_DV_BF16": "1"},
+        {"MOEGAN_FLASH_AUGSUB": "1"},
+        {"MOEGAN_FLASH_PBF16": "1", "MOEGAN_FLASH_NOMAX": "1"},
+        {"MOEGAN_FLASH_PBF16": "1"},  # fwd pbf16 gated off (needs NOMAX); bwd active
+        {
+            "MOEGAN_FLASH_DV_BF16": "1",
+            "MOEGAN_FLASH_AUGSUB": "1",
+            "MOEGAN_FLASH_PBF16": "1",
+            "MOEGAN_FLASH_NOMAX": "1",
+        },
+    ],
+    ids=["dv_bf16", "augsub", "pbf16_nomax", "pbf16_only", "all"],
+)
+@pytest.mark.parametrize("multi_kv", [True, False])
+def test_flash_microopt_flags_interpret(monkeypatch, flags, multi_kv):
+    """Round-5 VPU/MXU micro-opt flags, each against the naive reference:
+    MOEGAN_FLASH_DV_BF16 (the backward's dv dot in storage dtype — the
+    one fp32 MXU dot in the path), MOEGAN_FLASH_AUGSUB (the backward's
+    -lse / -delta broadcast subtracts folded into the score/dp matmuls as
+    augmented columns), MOEGAN_FLASH_PBF16 (scores drained bf16 from the
+    MXU, exp2 on packed bf16 — forward only under NOMAX, backward
+    always). PBF16 genuinely quantizes s to bf16, so its arms carry a
+    bf16-level tolerance; the other two are exact-in-fp32 rewrites (test
+    inputs are f32, where the storage-dtype casts are no-ops)."""
+    for name, val in flags.items():
+        monkeypatch.setenv(name, val)
+    fa._DV_BF16_CACHE.clear()
+    fa._AUGSUB_CACHE.clear()
+    fa._PBF16_CACHE.clear()
+    fa._NOMAX_CACHE.clear()
+    k = jax.random.PRNGKey(13)
+    T = 256
+    shape = (2, T, 1, 16)
+    q = jax.random.normal(k, shape)
+    kk = jax.random.normal(jax.random.fold_in(k, 1), shape)
+    v = jax.random.normal(jax.random.fold_in(k, 2), shape)
+    block_k = 64 if multi_kv else T
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, 128, block_k) ** 2)
+
+    with _interpreted(None), mock.patch.object(fa, "_supported", lambda *a: True):
+        out = fa.flash_attention(q, kk, v, 128, block_k)
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kk, v)
+    loose = flags.get("MOEGAN_FLASH_PBF16") == "1"
+    tol_out = dict(rtol=3e-2, atol=3e-2) if loose else dict(rtol=2e-5, atol=2e-5)
+    tol_g = dict(rtol=8e-2, atol=8e-2) if loose else dict(rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(naive(q, kk, v)), **tol_out
+    )
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(naive(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, kk, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), **tol_g, err_msg=f"d{name}"
+        )
+
+
 def test_flash_exp2_env_flip_between_fwd_and_bwd(monkeypatch):
     """The exp2 flag is bound ONCE at the flash_attention call as a static
     custom_vjp argument — flipping MOEGAN_FLASH_EXP2 between the eager
