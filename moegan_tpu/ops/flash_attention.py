@@ -78,8 +78,11 @@ def _augsub_wanted() -> bool:
     order of rounding the bf16 q.k inputs already impose on s. The
     column concats are once per (program, kv-tile) on [*, D] operands —
     block_q/(D+1) times smaller than the subtracts they replace.
-    Default OFF pending the hardware A/B. Enable with
-    MOEGAN_FLASH_AUGSUB=1."""
+    MEASURED LOSER on hardware: 806 vs ~1025 imgs/s/chip at b64
+    (runs/r5_tpu_log6.txt) — the per-tile concats force extra VMEM
+    copies/relayouts that dwarf the two subtracts they remove. Kept as
+    a documented rejected experiment; default OFF
+    (MOEGAN_FLASH_AUGSUB=1 to reproduce the measurement)."""
     import os
 
     v = os.environ.get("MOEGAN_FLASH_AUGSUB", "0")
@@ -90,9 +93,11 @@ def _augsub_wanted() -> bool:
 
 def _pbf16_wanted() -> bool:
     """EXPERIMENT (opt-in): compute softmax probabilities in bf16. The
-    MXU emits the score tile in bf16 (preferred_element_type — the fp32
-    accumulator is converted on drain, no VPU pass) and exp2 runs on
-    bf16 vectors, which Mosaic can pack 2-per-lane; the p -> bf16 cast
+    score tile is converted to bf16 right after the MXU drain (Mosaic
+    REQUIRES a 32-bit matmul accumulator — a bf16 preferred_element_type
+    fails kernel verification on hardware, runs/r5_tpu_log6.txt — so the
+    convert is one VPU pass) and exp2 runs on bf16 vectors, which Mosaic
+    can pack 2-per-lane; the p -> bf16 cast
     before the PV dot disappears because p is BORN bf16. The forward's p
     was already quantized to bf16 for the PV matmul, so the only new
     rounding is s itself (|s| <~ 30 in base-2 units -> absolute error
@@ -250,10 +255,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                # pbf16 (only reachable with no_max): the MXU drains its
-                # fp32 accumulator straight to bf16 and exp2 runs packed.
-                preferred_element_type=(jnp.bfloat16 if pbf16 else jnp.float32),
+                # Mosaic requires a 32-bit matmul accumulator (a bf16
+                # preferred_element_type fails verification on hardware,
+                # runs/r5_tpu_log6.txt); pbf16 converts AFTER the drain.
+                preferred_element_type=jnp.float32,
             )  # [block_q, block_k]; scale already folded into q
+            if pbf16:  # only reachable with no_max: exp2 runs packed bf16
+                s = s.astype(jnp.bfloat16)
             if no_max:
                 # Shift-free softmax (see _nomax_wanted): no row-max, no
                 # subtract, no alpha rescale — plain accumulation.
@@ -295,8 +303,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, block_k: int,
             s = jax.lax.dot_general(
                 q, k_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=(jnp.bfloat16 if pbf16 else jnp.float32),
+                preferred_element_type=jnp.float32,
             )
+            if pbf16:  # convert after the fp32 drain (Mosaic acc rule)
+                s = s.astype(jnp.bfloat16)
             p = jnp.exp2(s) if use_exp2 else jnp.exp(s)
             l_new = l_prev + jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
             acc = acc + jax.lax.dot_general(
@@ -546,7 +556,6 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         k_blk = k_ref[pl.ds(j * block_k, block_k), :]
         v_blk = v_ref[pl.ds(j * block_k, block_k), :]
 
-        s_pref = jnp.bfloat16 if pbf16 else jnp.float32
         if augsub:
             k_aug = jnp.concatenate(
                 [k_blk, jnp.ones((block_k, 1), k_blk.dtype)], axis=1
@@ -556,8 +565,10 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             )
             sm = jax.lax.dot_general(
                 q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=s_pref,
+                preferred_element_type=jnp.float32,  # Mosaic acc rule
             )  # = q.k - lse, scale pre-folded into q
+            if pbf16:
+                sm = sm.astype(jnp.bfloat16)
             p = jnp.exp2(sm) if use_exp2 else jnp.exp(sm)
             dp = jax.lax.dot_general(
                 do_aug.astype(v_blk.dtype), v_aug,
