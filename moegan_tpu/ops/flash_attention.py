@@ -55,8 +55,17 @@ def _dv_bf16_wanted() -> bool:
     so quantizing do back is lossless; p however is currently fed at
     fp32 precision while the FORWARD's PV dot already quantizes the same
     p to bf16 — this flag makes the backward match the forward's
-    precision instead of exceeding it. Default OFF pending the hardware
-    A/B. Enable with MOEGAN_FLASH_DV_BF16=1."""
+    precision instead of exceeding it.
+
+    MEASURED: no b64 effect — 1035.3/1027.7/1035.0 imgs/s/chip vs
+    interleaved controls 1033.0/1030.3 (runs/r5_tpu_log8.txt); the
+    chain-6 1073.0 first reading was an outlier (single-run spread can
+    reach +40 — see the chain-7 header note). Mosaic evidently already
+    handles the fp32-operand dot without the feared 4x pass count at
+    this 25% fill. At b128 one sample read 1042.9 vs the 1014-1017
+    historical band; the chain-8 interleaved replication settles it
+    (runs/r5_tpu_log9.txt). Default OFF.
+    Enable with MOEGAN_FLASH_DV_BF16=1."""
     import os
 
     v = os.environ.get("MOEGAN_FLASH_DV_BF16", "0")
@@ -106,6 +115,11 @@ def _pbf16_wanted() -> bool:
     win AND a convergence check. Forward applies under NOMAX only (the
     online-max paths mix fp32 running maxima into the same vectors);
     the backward (which never computes a max) applies unconditionally.
+
+    MEASURED: no edge beyond NOMAX alone — NOMAX+PBF16 1038.2 and
+    NOMAX+DV_BF16+PBF16 1026.4 vs control 1030.3 and NOMAX-alone arms
+    1031-1042 (runs/r5_tpu_log7.txt): the post-drain convert eats the
+    packed-exp2 saving. Stays opt-in.
     Enable with MOEGAN_FLASH_PBF16=1."""
     import os
 
@@ -129,7 +143,13 @@ def _nomax_wanted() -> bool:
     [block_q, block_k] score tile — 2 of the ~4 VPU passes in the
     VPU-bound res-64 forward (the backward never computes a max; it
     subtracts the saved lse, which this mode saves as plain log2(l)).
-    Default OFF pending the hardware A/B. Enable with
+
+    MEASURED: +10 trend INSIDE the +-12 noise band across 4 interleaved
+    pairings (1031.5/1041.8/1034.7/1038.2 vs controls
+    1030.6/1015.4/1031.4/1030.3 — runs/r5_tpu_log5.txt, log7.txt).
+    Stays opt-in: a numerics change (range semantics) may only become a
+    default with a win clearly outside noise AND convergence evidence
+    (PARITY.md §8 rule), and the win is not established. Enable with
     MOEGAN_FLASH_NOMAX=1."""
     import os
 
