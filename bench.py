@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--resolution", type=int, default=64)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per measurement; the MEDIAN is "
+                    "reported. Added in round 5 after interleaved A/B chains "
+                    "showed single-sample spread up to +-40 imgs/s (e.g. a "
+                    "1073 outlier vs a 1028-1035 replicated band, "
+                    "runs/r5_tpu_log7-8.txt); 3 medianed reps cost ~2s and "
+                    "cut that spread")
     ap.add_argument("--with-clip", action="store_true")
     ap.add_argument("--mode", choices=["train", "gen"], default="train")
     ap.add_argument("--remat", action="store_true",
@@ -166,12 +173,16 @@ def main():
     }
 
     def timed(fn, *fn_args):
-        """Run fn once (compile), then time dispatch + hard host read."""
+        """Run fn once (compile), then time dispatch + hard host read;
+        median over --reps samples."""
         out = fn(*fn_args)
         _ = float(out)  # warm: full execution + transfer
-        t0 = time.perf_counter()
-        _ = float(fn(*fn_args))
-        return time.perf_counter() - t0
+        samples = []
+        for _i in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            _ = float(fn(*fn_args))
+            samples.append(time.perf_counter() - t0)
+        return sorted(samples)[len(samples) // 2]
 
     if args.mode == "train":
         raw_step, _ = make_train_step(

@@ -62,9 +62,12 @@ def _dv_bf16_wanted() -> bool:
     chain-6 1073.0 first reading was an outlier (single-run spread can
     reach +40 — see the chain-7 header note). Mosaic evidently already
     handles the fp32-operand dot without the feared 4x pass count at
-    this 25% fill. At b128 one sample read 1042.9 vs the 1014-1017
-    historical band; the chain-8 interleaved replication settles it
-    (runs/r5_tpu_log9.txt). Default OFF.
+    this 25% fill. SETTLED at b128 too: the chain-8 interleaved
+    replication (median-of-3 bench) read 1042.87 with the flag vs
+    1042.55/1042.21 controls (runs/r5_tpu_log9.txt) — the earlier
+    1042.9-vs-1014 delta was single-sample bench noise (removed by
+    bench.py --reps medianing), not this flag. No effect at either
+    batch size. Default OFF.
     Enable with MOEGAN_FLASH_DV_BF16=1."""
     import os
 
