@@ -59,6 +59,36 @@ class MultiHeadAttention(nn.Module):
             B, T, _ = y.shape
             return y.reshape(B, T, H, hd)
 
+        if (
+            k is v
+            and q is not k
+            and k.shape[1] == 1
+            and os.environ.get("MOEGAN_CROSS_T1", "1") != "0"
+        ):
+            # Single-KV-token cross attention (the reference's text
+            # sequence is always length 1, t2i_moe_gan.py:790): softmax
+            # over one key is EXACTLY 1.0 (exp(s-s)/exp(s-s)), so the
+            # attention output is the value projection of that token,
+            # broadcast over every query position — independent of q,
+            # wq/bq, wk/bk, AND the LayerNorm feeding q (their reference
+            # gradients are exactly zero: the softmax Jacobian
+            # diag(p)-pp^T vanishes at p=1). Computing it as two
+            # [B,1,D] matmuls + a broadcast deletes, per block per
+            # generator pass, the q projection over all T tokens, the
+            # [B,H,T,1] score/softmax/PV chain, the [B,T,D] out
+            # projection, and (via XLA DCE of the now-unused q input)
+            # the norm2 LayerNorm — all token-stream-sized ops the
+            # reference pays because torch cannot see through the
+            # softmax. Bit-identical to the full path (the full path's
+            # p@v with p==1.0 returns v exactly; matmul rows with equal
+            # inputs produce equal outputs). Parity + zero-grad tests:
+            # tests/test_attention.py. MOEGAN_CROSS_T1=0 restores the
+            # full path for A/B.
+            vh = v.astype(cd) @ wv.astype(cd) + bv.astype(cd)  # [B, 1, D]
+            out1 = vh @ wo.astype(cd) + bo.astype(cd)  # [B, 1, D]
+            B, Tq = q.shape[0], q.shape[1]
+            return jnp.broadcast_to(out1, (B, Tq, D)).astype(q.dtype)
+
         if q is k and k is v and os.environ.get("MOEGAN_FUSED_QKV", "1") != "0":
             # Self-attention: one [D, 3D] matmul instead of three [D, D]
             # (params stay separate — concat is trace-time). At the narrow

@@ -52,3 +52,46 @@ def test_single_kv_token_cross_attention():
     out = np.asarray(m.apply(params, q, kv, kv))
     # every query position receives the same value -> rows identical
     np.testing.assert_allclose(out[:, 0], out[:, 3], rtol=1e-5, atol=1e-6)
+
+
+def test_cross_t1_shortcut_matches_full_path():
+    """MOEGAN_CROSS_T1 collapses length-1-KV cross attention to a
+    broadcast value projection. It must match the full softmax path
+    bitwise in forward, and in gradients up to fp32 reduction reorder
+    (the shortcut sums dout over Tq BEFORE the wo/wv matmuls instead of
+    after — same terms, different association). The full path's softmax
+    over one key is exactly 1.0 and its Jacobian exactly 0, so q/k
+    projections get exactly-zero grads either way."""
+    import os
+
+    D, H, B, Tq = 16, 4, 3, 7
+    m = MultiHeadAttention(dim=D, heads=H, compute_dtype=jnp.float32)
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (B, Tq, D))
+    kv = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, D))
+    params = m.init(key, q, kv, kv)
+    g = jax.random.normal(jax.random.fold_in(key, 2), (B, Tq, D))
+
+    def loss(p, flag):
+        os.environ["MOEGAN_CROSS_T1"] = flag
+        try:
+            out = m.apply(p, q, kv, kv)
+        finally:
+            os.environ.pop("MOEGAN_CROSS_T1", None)
+        return jnp.vdot(out, g), out
+
+    (l_full, out_full), g_full = jax.value_and_grad(loss, has_aux=True)(params, "0")
+    (l_fast, out_fast), g_fast = jax.value_and_grad(loss, has_aux=True)(params, "1")
+
+    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_fast))
+    assert float(l_full) == float(l_fast)
+    flat_full = jax.tree_util.tree_leaves_with_path(g_full)
+    flat_fast = {jax.tree_util.keystr(k): v for k, v in
+                 jax.tree_util.tree_leaves_with_path(g_fast)}
+    for path, leaf in flat_full:
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_fast[name]), rtol=2e-6,
+            atol=1e-6, err_msg=name)
+        if any(t in name for t in ("wq", "wk", "bq", "bk")):
+            assert not np.any(np.asarray(leaf)), f"{name} grad must be exactly 0"
